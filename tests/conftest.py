@@ -1,0 +1,14 @@
+"""Test config: run everything on a virtual 8-device CPU platform.
+
+This is the JAX analogue of a fake distributed backend (SURVEY.md §4g): the
+same pjit/shard_map code paths as real TPUs, with N host devices.
+Must run before jax initializes, hence env vars at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
