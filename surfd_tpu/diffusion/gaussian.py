@@ -159,8 +159,10 @@ def p_mean_variance(
         model_output = jnp.where(mask, motion, model_output)
 
     if var_type in (VarType.LEARNED, VarType.LEARNED_RANGE):
-        C = x.shape[1]
-        model_output, model_var_values = jnp.split(model_output, [C], axis=1)
+        # Channel-last layout (B, ..., C) — the TPU-native convention here,
+        # vs the reference's channel-first split (gaussian_diffusion.py:298).
+        C = x.shape[-1]
+        model_output, model_var_values = jnp.split(model_output, [C], axis=-1)
         if var_type == VarType.LEARNED:
             model_log_variance = model_var_values
             model_variance = jnp.exp(model_log_variance)
@@ -565,10 +567,10 @@ def training_losses(
     model_output = model_fn(x_t, sched.model_timesteps(t))
 
     if var_type in (VarType.LEARNED, VarType.LEARNED_RANGE):
-        C = x_t.shape[1]
-        model_output, model_var_values = jnp.split(model_output, [C], axis=1)
+        C = x_t.shape[-1]
+        model_output, model_var_values = jnp.split(model_output, [C], axis=-1)
         frozen = jnp.concatenate(
-            [jax.lax.stop_gradient(model_output), model_var_values], axis=1
+            [jax.lax.stop_gradient(model_output), model_var_values], axis=-1
         )
         vb, _ = vb_terms_bpd(
             sched, lambda *_a: frozen, x_start, x_t, t,

@@ -7,7 +7,11 @@ Must run before jax initializes, hence env vars at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set (not setdefault): the machine env pins JAX_PLATFORMS=axon (the
+# real TPU tunnel); tests must run on the virtual CPU mesh unless explicitly
+# requested with SURFD_TEST_TPU=1.
+if not os.environ.get("SURFD_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,147 @@
+"""Model tests: shapes, init parity, kNN vs brute force (SURVEY.md §4f)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surfd_tpu.models import (
+    MDM,
+    CbnDecoder,
+    CoordsEncoder,
+    Dgcnn,
+    UNet1D,
+    knn_indices,
+    make_cfg_model_fn,
+    timestep_embedding,
+)
+
+
+def test_timestep_embedding_shape_and_values():
+    emb = timestep_embedding(jnp.array([0.0, 1.0, 500.0]), 224)
+    assert emb.shape == (3, 224)
+    # t=0: cos part all 1, sin part all 0
+    np.testing.assert_allclose(emb[0, :112], 1.0, atol=1e-6)
+    np.testing.assert_allclose(emb[0, 112:], 0.0, atol=1e-6)
+    # first frequency is 1.0 → emb[1,0] = cos(1)
+    assert float(emb[1, 0]) == pytest.approx(np.cos(1.0), abs=1e-6)
+
+
+def test_coords_encoder_dims_and_order():
+    enc = CoordsEncoder()
+    assert enc.out_dim == 63
+    x = jnp.array([[0.5, -0.25, 1.0]])
+    e = enc.encode(x)
+    assert e.shape == (1, 63)
+    np.testing.assert_allclose(e[0, :3], x[0])
+    np.testing.assert_allclose(e[0, 3:6], np.sin(np.asarray(x[0])), rtol=1e-6)
+    np.testing.assert_allclose(e[0, 6:9], np.cos(np.asarray(x[0])), rtol=1e-6)
+    # last freq is 2^9
+    np.testing.assert_allclose(e[0, -3:], np.cos(np.asarray(x[0]) * 512), rtol=1e-4)
+
+
+def test_knn_vs_bruteforce():
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    idx = knn_indices(pts, k=5)
+    assert idx.shape == (2, 64, 5)
+    # brute force reference
+    p = np.asarray(pts)
+    d = ((p[:, :, None, :] - p[:, None, :, :]) ** 2).sum(-1)
+    ref = np.argsort(d, axis=-1, kind="stable")[:, :, :5]
+    # Self must be first; neighbor distance sets must match.
+    np.testing.assert_array_equal(np.asarray(idx[..., 0]), np.arange(64)[None, :].repeat(2, 0))
+    d_ours = np.take_along_axis(d, np.asarray(idx), axis=-1)
+    d_ref = np.take_along_axis(d, ref, axis=-1)
+    np.testing.assert_allclose(np.sort(d_ours, -1), np.sort(d_ref, -1), atol=1e-5)
+
+
+def test_knn_chunked_matches_unchunked():
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.normal(size=(1, 256, 3)).astype(np.float32))
+    a = knn_indices(pts, k=8, chunk=64)
+    b = knn_indices(pts, k=8, chunk=256)
+    d = ((np.asarray(pts)[0, :, None] - np.asarray(pts)[0, None]) ** 2).sum(-1)
+    da = np.take_along_axis(d, np.asarray(a[0]), -1)
+    db = np.take_along_axis(d, np.asarray(b[0]), -1)
+    np.testing.assert_allclose(da, db, atol=1e-5)
+
+
+def test_dgcnn_shapes_and_init():
+    model = Dgcnn(size_latent=32)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 128, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    lat = model.apply(variables, x)
+    assert lat.shape == (2, 32)
+    assert "batch_stats" in variables
+    # train mode mutates batch_stats
+    lat2, updates = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert lat2.shape == (2, 32)
+
+
+def test_cbn_decoder_shapes_and_zero_init_identity():
+    enc = CoordsEncoder()
+    dec = CbnDecoder(latent_dim=32, hidden_dim=64, num_hidden_layers=2)
+    coords = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (2, 100, 3)), jnp.float32)
+    latent = jnp.asarray(np.random.default_rng(4).normal(size=(2, 32)), jnp.float32)
+    variables = dec.init(jax.random.PRNGKey(0), enc.encode(coords), latent)
+    out = dec.apply(variables, enc.encode(coords), latent)
+    assert out.shape == (2, 100)
+    # CBN gamma kernels start at zero (init parity with cbndec.py:62-66)
+    g = variables["params"]["block_0"]["bn_0"]["gamma"]["kernel"]
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+    b = variables["params"]["block_0"]["fc_1"]["kernel"]
+    np.testing.assert_allclose(np.asarray(b), 0.0)
+
+
+def test_unet1d_shapes_and_zero_out():
+    model = UNet1D(model_channels=32, channel_mult=(1, 2), num_res_blocks=1)
+    x = jnp.ones((2, 32, 1))
+    t = jnp.array([0, 10])
+    variables = model.init(jax.random.PRNGKey(0), x, t)
+    out = model.apply(variables, x, t)
+    assert out.shape == (2, 32, 1)
+    # zero-init output conv → output must be exactly zero at init
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_unet1d_context_and_class_conditioning():
+    x = jnp.ones((2, 32, 1))
+    t = jnp.array([1, 2])
+    ctx_model = UNet1D(model_channels=32, channel_mult=(1, 2), num_res_blocks=1)
+    v = ctx_model.init(jax.random.PRNGKey(0), x, t, context=jnp.ones((2, 512)))
+    out = ctx_model.apply(v, x, t, context=jnp.ones((2, 512)))
+    assert out.shape == (2, 32, 1)
+
+    cls_model = UNet1D(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=1, num_classes=9
+    )
+    v = cls_model.init(jax.random.PRNGKey(0), x, t, y=jnp.array([0, 5]))
+    out = cls_model.apply(v, x, t, y=jnp.array([0, 5]))
+    assert out.shape == (2, 32, 1)
+    with pytest.raises(AssertionError):
+        cls_model.apply(v, x, t)  # class-conditional model requires y
+
+
+def test_mdm_facade_and_cfg():
+    x = jnp.ones((2, 32, 1))
+    t = jnp.array([1, 2])
+    mdm = MDM(cond_mode="sketch", model_channels=32, channel_mult=(1, 2), num_res_blocks=1)
+    ctx = jnp.ones((2, 512))
+    v = mdm.init(jax.random.PRNGKey(0), x, t, context=ctx)
+    out = mdm.apply(v, x, t, context=ctx)
+    assert out.shape == (2, 32, 1)
+
+    fn = make_cfg_model_fn(mdm, v, guidance_scale=2.5, context=ctx)
+    out_g = fn(x, t)
+    assert out_g.shape == (2, 32, 1)
+    # scale=1 returns plain conditional output
+    fn1 = make_cfg_model_fn(mdm, v, guidance_scale=1.0, context=ctx)
+    np.testing.assert_allclose(np.asarray(fn1(x, t)), np.asarray(out), atol=1e-6)
+
+
+def test_mdm_rejects_bad_cond_mode():
+    with pytest.raises(ValueError):
+        MDM(cond_mode="bogus").init(
+            jax.random.PRNGKey(0), jnp.ones((1, 32, 1)), jnp.array([0])
+        )
