@@ -1,0 +1,205 @@
+"""Dense UDF grid evaluation with block-sparse coarse-to-fine filling.
+
+TPU-first re-design of the reference `GridFiller`
+(/root/reference/meshudf/meshudf.py:23-304 and the CPU variant at
+/root/reference/utils/utils.py:151-339). The reference refines through 5
+resolution levels with per-voxel boolean masks and dynamic-length gather
+batches — dynamic shapes on every level. Here the final N³ vertex grid is
+partitioned into fixed-size blocks:
+
+  1. Coarse pass: evaluate the decoder at every block center ((N/B)³ points,
+     one static-shape call) and mark a block active when its center UDF could
+     hide surface inside the block (< half block diagonal + near-band).
+  2. Fine pass: evaluate all B³ vertices of active blocks, batched into
+     fixed-capacity chunks (padding to the chunk size keeps a single compiled
+     executable regardless of how many blocks are active).
+
+Inactive blocks are filled with the coarse center value (the reference
+broadcasts coarse values the same way, meshudf.py:191-194). A separate
+gradient pass evaluates ∂udf/∂xyz only in the near-surface band
+(reference threshold 2.5·voxel, meshudf.py:199-206) using forward-mode JAX
+differentiation of the decoder — no double-backward autograd graph.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+UdfFn = Callable[[jnp.ndarray], jnp.ndarray]  # (P, 3) -> (P,)
+GradFn = Callable[[jnp.ndarray], jnp.ndarray]  # (P, 3) -> (P, 3)
+
+
+def eval_in_chunks(fn, pts: np.ndarray, chunk: int) -> np.ndarray:
+    """Evaluate a jitted device fn over (P, ...) points in fixed-size chunks.
+
+    Pads the last chunk to `chunk` so only ONE executable is compiled.
+    """
+    P = pts.shape[0]
+    if P == 0:
+        probe = np.asarray(fn(jnp.zeros((chunk, 3), jnp.float32)))
+        return np.zeros((0,) + probe.shape[1:], probe.dtype)
+    n_chunks = math.ceil(P / chunk)
+    outs = []
+    for i in range(n_chunks):
+        part = pts[i * chunk : (i + 1) * chunk]
+        if part.shape[0] < chunk:
+            part = np.concatenate(
+                [part, np.zeros((chunk - part.shape[0], pts.shape[1]), pts.dtype)], axis=0
+            )
+        outs.append(np.asarray(fn(jnp.asarray(part))))
+    return np.concatenate(outs, axis=0)[:P]
+
+
+def make_grad_fn(udf_fn: UdfFn) -> GradFn:
+    """∂udf/∂xyz via reverse-mode on the scalar-per-point decoder.
+
+    Replaces the reference's double-backward `sample_grads`
+    (meshudf.py:231-251); `jax.grad` per point under vmap is one fused
+    forward+backward, with no graph retention.
+    """
+    def single(p):
+        return udf_fn(p[None])[0]
+
+    return jax.jit(jax.vmap(jax.grad(single)))
+
+
+def auto_block_size(
+    resolution: int, spacing: float, max_dist: float, band_mult: float = 2.5
+) -> int:
+    """Largest power-of-2 block size whose activity test is sound.
+
+    A vertex v in the near band (udf(v) < band) inside block b satisfies
+    udf(center_b) ≤ half_diag(b) + band by the triangle inequality, so the
+    center test `udf < half_diag + band` provably captures every band vertex —
+    PROVIDED half_diag + band stays below the clip max_dist (clipped values
+    carry no distance information beyond it). Pick the largest block obeying
+    that with a 0.95 margin for decoder error.
+    """
+    band = band_mult * spacing
+    block = 1
+    b = 2
+    while resolution % b == 0 and b <= resolution:
+        half_diag = 0.5 * math.sqrt(3.0) * b * spacing
+        if half_diag + band <= 0.95 * max_dist:
+            block = b
+        else:
+            break
+        b *= 2
+    return block
+
+
+class GridFiller:
+    """Fill an N³ UDF vertex grid from a per-point decoder function."""
+
+    def __init__(
+        self,
+        resolution: int,
+        coords_range: tuple[float, float] = (-1.0, 1.0),
+        block: int | None = None,
+        max_batch: int = 2**17,
+        max_dist: float = 0.1,
+        band_mult: float = 2.5,
+    ):
+        self.N = resolution
+        self.lo, self.hi = coords_range
+        self.max_batch = max_batch
+        self.max_dist = max_dist
+        self.band_mult = band_mult
+        self.spacing = (self.hi - self.lo) / (resolution - 1)
+        if block is None:
+            block = auto_block_size(resolution, self.spacing, max_dist, band_mult)
+        assert resolution % block == 0, "resolution must be a multiple of block"
+        self.block = block
+        self.nb = resolution // block
+        half_diag = 0.5 * math.sqrt(3.0) * block * self.spacing
+        self.threshold = half_diag + band_mult * self.spacing
+
+        xs = np.linspace(self.lo, self.hi, resolution, dtype=np.float32)
+        self._xs = xs
+        centers = xs.reshape(self.nb, self.block).mean(axis=1)
+        cg = np.stack(np.meshgrid(centers, centers, centers, indexing="ij"), axis=-1)
+        self._block_centers = cg.reshape(-1, 3)
+
+    def fill(self, udf_fn: UdfFn, return_stats: bool = False):
+        """Return the (N, N, N) UDF grid (numpy, host)."""
+        N, B, nb = self.N, self.block, self.nb
+
+        if B == 1:
+            # max_dist too tight for sparsification at this resolution:
+            # the "coarse" pass is already the dense grid.
+            grid = fill_grid_dense(udf_fn, N, (self.lo, self.hi), self.max_batch)
+            if return_stats:
+                return grid, {
+                    "active_blocks": N**3,
+                    "total_blocks": N**3,
+                    "fine_points": N**3,
+                    "dense_points": N**3,
+                }
+            return grid
+
+        coarse = eval_in_chunks(udf_fn, self._block_centers, min(self.max_batch, nb**3))
+        coarse = coarse.reshape(nb, nb, nb)
+        active = coarse < self.threshold  # (nb, nb, nb)
+
+        # Initialize the full grid with the coarse value broadcast per block.
+        grid = np.repeat(np.repeat(np.repeat(coarse, B, 0), B, 1), B, 2).astype(np.float32)
+
+        ab = np.argwhere(active)  # (M, 3) active block coords
+        if len(ab) > 0:
+            # All vertex coordinates of the active blocks: (M, B³, 3).
+            off = np.stack(
+                np.meshgrid(np.arange(B), np.arange(B), np.arange(B), indexing="ij"),
+                axis=-1,
+            ).reshape(-1, 3)
+            vidx = ab[:, None, :] * B + off[None, :, :]  # (M, B³, 3)
+            pts = self._xs[vidx].astype(np.float32)  # fancy-index per axis
+            pts = pts.reshape(-1, 3)
+            vals = eval_in_chunks(udf_fn, pts, self.max_batch)
+            flat = vidx.reshape(-1, 3)
+            grid[flat[:, 0], flat[:, 1], flat[:, 2]] = vals
+
+        if return_stats:
+            stats = {
+                "active_blocks": int(active.sum()),
+                "total_blocks": int(nb**3),
+                "fine_points": int(active.sum()) * B**3,
+                "dense_points": N**3,
+            }
+            return grid, stats
+        return grid
+
+    def fill_gradients(
+        self,
+        grad_fn: GradFn,
+        udf_grid: np.ndarray,
+        band_mult: float = 2.5,
+    ) -> np.ndarray:
+        """(N,N,N,3) gradients where udf < band_mult·voxel, zero elsewhere.
+
+        Mirrors the reference's near-band gradient pass (meshudf.py:199-206:
+        threshold 2.5·side/N).
+        """
+        N = self.N
+        mask = udf_grid < band_mult * self.spacing
+        idx = np.argwhere(mask)
+        grads = np.zeros((N, N, N, 3), dtype=np.float32)
+        if len(idx) == 0:
+            return grads
+        pts = self._xs[idx].astype(np.float32)
+        g = eval_in_chunks(grad_fn, pts, self.max_batch)
+        grads[idx[:, 0], idx[:, 1], idx[:, 2]] = g
+        return grads
+
+
+def fill_grid_dense(udf_fn: UdfFn, resolution: int, coords_range=(-1.0, 1.0), max_batch: int = 2**17):
+    """Naive dense fill — the parity oracle for GridFiller
+    (reference `get_udf_and_grads` naive path, meshudf.py:254-304)."""
+    xs = np.linspace(coords_range[0], coords_range[1], resolution, dtype=np.float32)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1).reshape(-1, 3)
+    vals = eval_in_chunks(udf_fn, g, max_batch)
+    return vals.reshape(resolution, resolution, resolution)

@@ -1,0 +1,386 @@
+"""Surface extraction: vectorized marching tetrahedra for signed and UDF fields.
+
+TPU-era re-design of the reference's Cython marching cubes
+(/root/reference/meshudf/_marching_cubes_lewiner_cy.pyx:1115-1773 — a
+sequential BFS with per-corner gradient votes and deferred "unsure" queues)
+and its classic-MC watertight path (PyMCubes at iso 0.01,
+/root/reference/sample/generate_text.py:139-141).
+
+Why marching *tetrahedra* instead of a Lewiner-table port:
+  * MT has no ambiguous cases and no 2.5k-entry LUT — each cube splits into 6
+    Kuhn tetrahedra whose 16 sign configurations emit ≤2 triangles, so the
+    whole extraction is a handful of gathers + where's over flat arrays:
+    data-parallel by construction (the property the north-star perf target
+    needs), where the reference's BFS is inherently single-threaded.
+  * The Kuhn (Freudenthal) decomposition is face-consistent across
+    neighboring cubes — every cube face is split along the same global
+    diagonal — so the extracted surface is crack-free.
+
+UDF handling (replacing the reference's global BFS sign propagation,
+_cy.pyx:1160-1374): pseudo-signs are derived *locally but consistently* —
+an axis edge of the grid "crosses" the surface iff its endpoint gradients
+oppose (dot < 0, both endpoints near the surface); each cube assigns corner
+signs by crossing-parity along the canonical path (0,0,0)→(dx,0,0)→
+(dx,dy,0)→(dx,dy,dz). Because edge crossings depend only on the two global
+endpoints, adjacent cubes agree on every shared edge's crossing point, and the
+resulting triangles coincide geometrically; only winding can flip per cube,
+which the final gradient-orientation pass fixes. Cubes are processed only
+where all 8 corners are near the surface, mirroring the reference's
+avg/max-distance gate (_cy.pyx:1157-1158, 1215-1218).
+
+All functions are numpy (host-side): extraction is a cheap, memory-bound
+postlude to the TPU-side grid evaluation, and the flat-array formulation keeps
+it a few vectorized passes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+# --- Kuhn 6-tetrahedra decomposition -------------------------------------
+# Corner ids: bit 0 = dx, bit 1 = dy, bit 2 = dz.
+# Each tet is a monotone path 0 → +axis → +axis → 7; the induced face
+# diagonals always connect the face's min and max corner, hence neighboring
+# cubes split shared faces identically (crack-free).
+_TETS = np.array(
+    [
+        [0, 1, 3, 7],
+        [0, 1, 5, 7],
+        [0, 2, 3, 7],
+        [0, 2, 6, 7],
+        [0, 4, 5, 7],
+        [0, 4, 6, 7],
+    ],
+    dtype=np.int32,
+)
+
+# Tetrahedron edges as local corner index pairs.
+_TET_EDGES = np.array(
+    [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], dtype=np.int32
+)
+
+# Triangle table: for each of the 16 inside-bit configurations, up to 2
+# triangles given as triples of tet-edge ids (-1 = unused). Winding is made
+# globally consistent afterwards by the gradient-orientation pass.
+_TRI_TABLE = -np.ones((16, 2, 3), dtype=np.int32)
+_TRI_TABLE[1, 0] = (0, 1, 2)
+_TRI_TABLE[2, 0] = (0, 3, 4)
+_TRI_TABLE[4, 0] = (1, 3, 5)
+_TRI_TABLE[8, 0] = (2, 4, 5)
+_TRI_TABLE[3] = [(1, 3, 4), (1, 4, 2)]
+_TRI_TABLE[5] = [(0, 3, 5), (0, 5, 2)]
+_TRI_TABLE[6] = [(0, 1, 5), (0, 5, 4)]
+_TRI_TABLE[9] = [(0, 5, 1), (0, 4, 5)]
+_TRI_TABLE[10] = [(0, 5, 3), (0, 2, 5)]
+_TRI_TABLE[12] = [(1, 4, 3), (1, 2, 4)]
+_TRI_TABLE[7, 0] = (2, 4, 5)
+_TRI_TABLE[11, 0] = (1, 5, 3)
+_TRI_TABLE[13, 0] = (0, 4, 3)
+_TRI_TABLE[14, 0] = (0, 2, 1)
+
+_CORNER_OFFSETS = np.array(
+    [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], dtype=np.int64
+)
+
+
+class Mesh(NamedTuple):
+    vertices: np.ndarray  # (V, 3) float32
+    faces: np.ndarray  # (F, 3) int64
+
+
+def _cube_corner_gids(cube_xyz: np.ndarray, R: int) -> np.ndarray:
+    """Global vertex ids of the 8 corners of each cube. cube_xyz: (M, 3)."""
+    corners = cube_xyz[:, None, :] + _CORNER_OFFSETS[None, :, :]  # (M, 8, 3)
+    return (corners[..., 0] * R + corners[..., 1]) * R + corners[..., 2]
+
+
+def _emit_triangles(
+    corner_vals: np.ndarray,  # (M, 8) signed values per active cube
+    corner_gids: np.ndarray,  # (M, 8) global vertex ids
+    grid_points: np.ndarray,  # (R³, 3) vertex positions (flat)
+    grid_vals: np.ndarray,  # (R³,) signed values used for interpolation (flat)
+    iso: float,
+) -> Mesh:
+    """Shared MT core: tetrahedralize active cubes and emit deduped triangles.
+
+    `corner_vals` decides sign configurations (it may be a per-cube pseudo-
+    signed field); interpolation positions come from `grid_vals`, which is
+    consistent per global edge so shared edges dedup exactly.
+    """
+    tri_edge_gids = []  # list of (K, 3, 2) endpoint-gid triples
+    inside = corner_vals < iso  # (M, 8)
+
+    for tet in _TETS:
+        tv = corner_vals[:, tet]  # (M, 4)
+        tin = inside[:, tet]
+        case = tin[:, 0] * 1 + tin[:, 1] * 2 + tin[:, 2] * 4 + tin[:, 3] * 8
+        tris = _TRI_TABLE[case]  # (M, 2, 3) edge ids
+        for s in range(2):
+            e = tris[:, s, :]  # (M, 3)
+            valid = e[:, 0] >= 0
+            if not valid.any():
+                continue
+            e = e[valid]
+            cube_sel = np.nonzero(valid)[0]
+            # local tet-corner pairs → local cube corners → global vertex ids
+            pairs = _TET_EDGES[e]  # (K, 3, 2) tet-local
+            local = tet[pairs]  # cube-local corner ids
+            gids = np.take_along_axis(
+                corner_gids[cube_sel][:, None, :].repeat(3, axis=1),
+                local,
+                axis=2,
+            )  # (K, 3, 2)
+            tri_edge_gids.append(gids)
+
+    if not tri_edge_gids:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+
+    gids = np.concatenate(tri_edge_gids, axis=0)  # (T, 3, 2)
+    a = gids.min(axis=-1).ravel()
+    b = gids.max(axis=-1).ravel()
+    keys = a * (grid_points.shape[0]) + b  # unique per undirected global edge
+    uniq, inv = np.unique(keys, return_inverse=True)
+    ua = (uniq // grid_points.shape[0]).astype(np.int64)
+    ub = (uniq % grid_points.shape[0]).astype(np.int64)
+
+    va = grid_vals[ua]
+    vb = grid_vals[ub]
+    denom = va - vb
+    t = np.where(np.abs(denom) > 1e-12, (va - iso) / np.where(denom == 0, 1, denom), 0.5)
+    t = np.clip(t, 0.0, 1.0)
+    verts = grid_points[ua] + t[:, None] * (grid_points[ub] - grid_points[ua])
+
+    faces = inv.reshape(-1, 3).astype(np.int64)
+    # Drop degenerate faces created by t clamping onto shared grid vertices.
+    keep = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return Mesh(verts.astype(np.float32), faces[keep])
+
+
+def _orient_faces_by_gradient(mesh: Mesh, outward_at: np.ndarray) -> Mesh:
+    """Flip faces whose normal opposes the per-vertex outward direction."""
+    if len(mesh.faces) == 0:
+        return mesh
+    v = mesh.vertices
+    f = mesh.faces
+    n = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    out = outward_at[f].mean(axis=1)
+    flip = (n * out).sum(axis=1) < 0
+    faces = f.copy()
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+    return Mesh(v, faces)
+
+
+def _grid_points(R: int, coords_range: tuple[float, float]) -> np.ndarray:
+    lo, hi = coords_range
+    xs = np.linspace(lo, hi, R, dtype=np.float32)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    return g.reshape(-1, 3)
+
+
+def marching_tetrahedra(
+    values: np.ndarray,
+    iso: float = 0.0,
+    coords_range: tuple[float, float] = (-1.0, 1.0),
+) -> Mesh:
+    """Extract the iso-surface of a signed scalar grid (watertight path).
+
+    Replaces PyMCubes `marching_cubes(udf, 0.01)` usage
+    (/root/reference/sample/generate_image.py:157-158).
+    values: (R, R, R), indexed [x, y, z].
+    """
+    R = values.shape[0]
+    assert values.shape == (R, R, R)
+    inside = values < iso
+    # Active cubes: any corner sign differs.
+    c = inside
+    agg_and = c[:-1, :-1, :-1]
+    agg_or = c[:-1, :-1, :-1]
+    for corner in _CORNER_OFFSETS[1:]:
+        sl = c[
+            corner[0] : R - 1 + corner[0],
+            corner[1] : R - 1 + corner[1],
+            corner[2] : R - 1 + corner[2],
+        ]
+        agg_and = agg_and & sl
+        agg_or = agg_or | sl
+    active = agg_or & ~agg_and
+    cube_xyz = np.argwhere(active)
+    if len(cube_xyz) == 0:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+
+    flat_vals = values.reshape(-1).astype(np.float64)
+    gids = _cube_corner_gids(cube_xyz, R)
+    corner_vals = flat_vals[gids]
+    pts = _grid_points(R, coords_range)
+    mesh = _emit_triangles(corner_vals, gids, pts, flat_vals, iso)
+
+    # Orient along the numerical field gradient (negative→positive).
+    gx, gy, gz = np.gradient(values.astype(np.float64))
+    grad = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    # Outward direction at each mesh vertex ≈ gradient at the nearest grid
+    # vertex of its source edge (vertices lie on grid edges).
+    spacing = (coords_range[1] - coords_range[0]) / (R - 1)
+    vid = np.clip(
+        np.round((mesh.vertices - coords_range[0]) / spacing).astype(np.int64), 0, R - 1
+    )
+    vgid = (vid[:, 0] * R + vid[:, 1]) * R + vid[:, 2]
+    return _orient_faces_by_gradient(mesh, grad[vgid])
+
+
+def marching_tetrahedra_udf(
+    udf: np.ndarray,
+    gradients: np.ndarray,
+    coords_range: tuple[float, float] = (-1.0, 1.0),
+    near_mult: float = 1.74,
+    avg_mult: float = 1.05,
+) -> Mesh:
+    """Extract an (open) surface from a UDF + gradient grid.
+
+    Replaces `marching_cubes_udf` (/root/reference/meshudf/
+    _marching_cubes_lewiner_cy.pyx:1115-1773). udf: (R,R,R) ≥ 0;
+    gradients: (R,R,R,3) — ∂udf/∂xyz (need not be normalized).
+
+    Gates (parity with the reference): a cube participates only if
+    max corner udf ≤ near_mult·voxel and mean corner udf < avg_mult·voxel
+    (_cy.pyx:1157-1158). Edge crossings: endpoint gradients opposing
+    (dot < 0) — the reference's `compute_edge_vote` reduces to this sign test
+    for the crossing decision (_cy.pyx:1776-1806).
+    """
+    R = udf.shape[0]
+    assert udf.shape == (R, R, R) and gradients.shape == (R, R, R, 3)
+    lo, hi = coords_range
+    voxel = (hi - lo) / (R - 1)
+
+    u = udf.astype(np.float64)
+    g = gradients.astype(np.float64)
+
+    # --- per-axis edge crossings (globally consistent) ---
+    def axis_cross(axis):
+        sl_a = [slice(None)] * 3
+        sl_b = [slice(None)] * 3
+        sl_a[axis] = slice(0, R - 1)
+        sl_b[axis] = slice(1, R)
+        dot = (g[tuple(sl_a)] * g[tuple(sl_b)]).sum(axis=-1)
+        near = (u[tuple(sl_a)] <= near_mult * voxel) & (u[tuple(sl_b)] <= near_mult * voxel)
+        return (dot < 0.0) & near
+
+    cross_x = axis_cross(0)  # (R-1, R, R)
+    cross_y = axis_cross(1)  # (R, R-1, R)
+    cross_z = axis_cross(2)  # (R, R, R-1)
+
+    # --- active cubes: all corners near + at least one crossing edge ---
+    def corner_view(a, corner):
+        return a[
+            corner[0] : R - 1 + corner[0],
+            corner[1] : R - 1 + corner[1],
+            corner[2] : R - 1 + corner[2],
+        ]
+
+    near_all = corner_view(u <= near_mult * voxel, _CORNER_OFFSETS[0])
+    mean_u = corner_view(u, _CORNER_OFFSETS[0]).copy()
+    for corner in _CORNER_OFFSETS[1:]:
+        near_all = near_all & corner_view(u <= near_mult * voxel, corner)
+        mean_u += corner_view(u, corner)
+    mean_u /= 8.0
+    active = near_all & (mean_u < avg_mult * voxel)
+    if not active.any():
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+
+    cube_xyz = np.argwhere(active)  # (M, 3)
+    x, y, z = cube_xyz[:, 0], cube_xyz[:, 1], cube_xyz[:, 2]
+
+    # --- corner pseudo-signs by crossing parity along the canonical path ---
+    # path (0,0,0) → (dx,0,0) → (dx,dy,0) → (dx,dy,dz)
+    signs = np.ones((len(cube_xyz), 8), dtype=np.int8)
+    for ci, (dx, dy, dz) in enumerate(_CORNER_OFFSETS):
+        parity = np.zeros(len(cube_xyz), dtype=np.int8)
+        if dx:
+            parity ^= cross_x[x, y, z]
+        if dy:
+            parity ^= cross_y[x + dx, y, z]
+        if dz:
+            parity ^= cross_z[x + dx, y + dy, z]
+        signs[:, ci] = np.where(parity, -1, 1)
+
+    gids = _cube_corner_gids(cube_xyz, R)
+    flat_u = u.reshape(-1)
+    corner_vals = signs * flat_u[gids]  # (M, 8) pseudo-SDF
+
+    # Interpolation must be gauge-invariant: corner signs are only defined up
+    # to a per-cube global flip, but every emitted edge has opposite signs at
+    # its endpoints, so the crossing parameter t = u_a / (u_a + u_b) depends
+    # only on the *unsigned* distances — identical in all cubes sharing the
+    # edge, which makes the dedup exact and the surface crack-free.
+    pts = _grid_points(R, coords_range)
+    mesh = _emit_triangles_udf(corner_vals, gids, pts, flat_u)
+
+    # --- orientation: outward ≈ mean of s_i · grad_i over the source edge ---
+    if len(mesh.faces):
+        flat_g = g.reshape(-1, 3)
+        spacing = voxel
+        vid = np.clip(
+            np.round((mesh.vertices - lo) / spacing).astype(np.int64), 0, R - 1
+        )
+        vgid = (vid[:, 0] * R + vid[:, 1]) * R + vid[:, 2]
+        # Sign of the nearest grid vertex within some active cube: use +grad
+        # when its udf side is "positive"; approximating with the raw gradient
+        # field is sufficient for a consistent per-component orientation.
+        mesh = _orient_faces_by_gradient(mesh, flat_g[vgid])
+    return mesh
+
+
+def _emit_triangles_udf(corner_vals, corner_gids, grid_points, flat_u):
+    """MT emission for pseudo-signed UDF cubes.
+
+    Same as _emit_triangles but the interpolation parameter for a crossing
+    edge (a, b) is t = u_a / (u_a + u_b) — both endpoints' unsigned distances
+    — which is globally consistent regardless of the per-cube sign gauge.
+    """
+    tri_edge_gids = []
+    inside = corner_vals < 0.0
+
+    for tet in _TETS:
+        tin = inside[:, tet]
+        case = tin[:, 0] * 1 + tin[:, 1] * 2 + tin[:, 2] * 4 + tin[:, 3] * 8
+        tris = _TRI_TABLE[case]
+        for s in range(2):
+            e = tris[:, s, :]
+            valid = e[:, 0] >= 0
+            if not valid.any():
+                continue
+            e = e[valid]
+            cube_sel = np.nonzero(valid)[0]
+            pairs = _TET_EDGES[e]
+            local = tet[pairs]
+            gids = np.take_along_axis(
+                corner_gids[cube_sel][:, None, :].repeat(3, axis=1), local, axis=2
+            )
+            tri_edge_gids.append(gids)
+
+    if not tri_edge_gids:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+
+    gids = np.concatenate(tri_edge_gids, axis=0)
+    NV = grid_points.shape[0]
+    a = gids.min(axis=-1).ravel()
+    b = gids.max(axis=-1).ravel()
+    keys = a * NV + b
+    uniq, inv = np.unique(keys, return_inverse=True)
+    ua = (uniq // NV).astype(np.int64)
+    ub = (uniq % NV).astype(np.int64)
+    su = flat_u[ua] + flat_u[ub]
+    t = np.where(su > 1e-12, flat_u[ua] / np.where(su == 0, 1, su), 0.5)
+    verts = grid_points[ua] + t[:, None] * (grid_points[ub] - grid_points[ua])
+    faces = inv.reshape(-1, 3).astype(np.int64)
+    keep = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return Mesh(verts.astype(np.float32), faces[keep])

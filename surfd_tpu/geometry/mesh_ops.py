@@ -1,0 +1,255 @@
+"""Mesh cleanup operations, dependency-free numpy.
+
+Replaces the specific trimesh / pymeshlab / scipy functionality the reference
+uses (SURVEY.md §2.11 items 5-7):
+  * trimesh process/dedup/degenerate/fill-holes loop
+    (/root/reference/meshudf/meshudf.py:381-402)
+  * border detection + border Laplacian smoothing via scipy sparse
+    (/root/reference/meshudf/meshudf.py:404-434, λ=0.3, 20 iters)
+  * pymeshlab Laplacian smoothing + small-component removal
+    (/root/reference/sample/generate_uncond.py:117-122)
+
+All ops take/return the `Mesh` NamedTuple from marching.py and use
+np.add.at segment-sums instead of sparse matrices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .marching import Mesh
+
+
+def merge_duplicate_vertices(mesh: Mesh, decimals: int = 7) -> Mesh:
+    """Merge vertices equal after rounding; drop collapsed faces."""
+    if len(mesh.vertices) == 0:
+        return mesh
+    key = np.round(mesh.vertices.astype(np.float64), decimals)
+    _, first, inv = np.unique(
+        key.view([("x", key.dtype), ("y", key.dtype), ("z", key.dtype)]).ravel(),
+        return_index=True,
+        return_inverse=True,
+    )
+    verts = mesh.vertices[first]
+    faces = inv[mesh.faces]
+    return remove_degenerate_faces(Mesh(verts, faces))
+
+
+def remove_degenerate_faces(mesh: Mesh, area_eps: float = 0.0) -> Mesh:
+    """Drop faces with repeated indices or (optionally) ~zero area."""
+    f = mesh.faces
+    if len(f) == 0:
+        return mesh
+    keep = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+    if area_eps > 0:
+        v = mesh.vertices
+        n = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+        keep &= 0.5 * np.linalg.norm(n, axis=1) > area_eps
+    return Mesh(mesh.vertices, f[keep])
+
+
+def remove_duplicate_faces(mesh: Mesh) -> Mesh:
+    """Drop repeated faces regardless of winding/rotation."""
+    if len(mesh.faces) == 0:
+        return mesh
+    key = np.sort(mesh.faces, axis=1)
+    _, idx = np.unique(key, axis=0, return_index=True)
+    return Mesh(mesh.vertices, mesh.faces[np.sort(idx)])
+
+
+def remove_unreferenced_vertices(mesh: Mesh) -> Mesh:
+    if len(mesh.faces) == 0:
+        return Mesh(np.zeros((0, 3), np.float32), mesh.faces)
+    used = np.unique(mesh.faces)
+    remap = -np.ones(len(mesh.vertices), dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    return Mesh(mesh.vertices[used], remap[mesh.faces])
+
+
+def face_components(faces: np.ndarray, num_vertices: int) -> np.ndarray:
+    """Connected-component label per face (union-find over shared vertices)."""
+    parent = np.arange(num_vertices, dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:  # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for f in faces:
+        a, b, c = find(f[0]), find(f[1]), find(f[2])
+        parent[b] = a
+        parent[find(c)] = find(a)
+    roots = np.array([find(v) for v in faces[:, 0]]) if len(faces) else np.zeros(0, np.int64)
+    _, labels = np.unique(roots, return_inverse=True)
+    return labels
+
+
+def filter_small_components(mesh: Mesh, min_faces: int) -> Mesh:
+    """pymeshlab `meshing_remove_connected_component_by_face_number` equivalent
+    (reference sample/generate_uncond.py:118-121, mincomponentsize=2500)."""
+    if len(mesh.faces) == 0:
+        return mesh
+    labels = face_components(mesh.faces, len(mesh.vertices))
+    counts = np.bincount(labels)
+    keep = counts[labels] >= min_faces
+    return remove_unreferenced_vertices(Mesh(mesh.vertices, mesh.faces[keep]))
+
+
+def keep_largest_component(mesh: Mesh, by_bbox: bool = False) -> Mesh:
+    """Keep one component: most faces, or largest bounding-box diagonal
+    (the reference watertight path keeps max-bbox,
+    sample/generate_image.py:160-166)."""
+    if len(mesh.faces) == 0:
+        return mesh
+    labels = face_components(mesh.faces, len(mesh.vertices))
+    n = labels.max() + 1
+    if by_bbox:
+        best, best_diag = 0, -1.0
+        for c in range(n):
+            vs = mesh.vertices[np.unique(mesh.faces[labels == c])]
+            diag = float(np.linalg.norm(vs.max(0) - vs.min(0)))
+            if diag > best_diag:
+                best, best_diag = c, diag
+    else:
+        best = int(np.bincount(labels).argmax())
+    return remove_unreferenced_vertices(Mesh(mesh.vertices, mesh.faces[labels == best]))
+
+
+def _edges_of(faces: np.ndarray) -> np.ndarray:
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0)
+    return np.sort(e, axis=1)
+
+
+def boundary_vertices(mesh: Mesh) -> np.ndarray:
+    """Vertex ids on open borders (edges referenced by exactly one face).
+
+    Equivalent to trimesh-based border detection in meshudf.py:406-414.
+    """
+    if len(mesh.faces) == 0:
+        return np.zeros(0, np.int64)
+    e = _edges_of(mesh.faces)
+    uniq, counts = np.unique(e, axis=0, return_counts=True)
+    border_edges = uniq[counts == 1]
+    return np.unique(border_edges)
+
+
+def _uniform_laplacian_step(verts, faces, lam, only: np.ndarray | None = None):
+    """One step v ← v + λ·(mean(neighbors) − v), via segment sums."""
+    e = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]],
+         faces[:, [1, 0]], faces[:, [2, 1]], faces[:, [0, 2]]],
+        axis=0,
+    )
+    acc = np.zeros_like(verts, dtype=np.float64)
+    cnt = np.zeros(len(verts), dtype=np.float64)
+    np.add.at(acc, e[:, 0], verts[e[:, 1]])
+    np.add.at(cnt, e[:, 0], 1.0)
+    mask = cnt > 0
+    mean = np.where(mask[:, None], acc / np.maximum(cnt, 1)[:, None], verts)
+    new = verts + lam * (mean - verts)
+    if only is not None:
+        out = verts.copy()
+        out[only] = new[only]
+        return out
+    return new
+
+
+def laplacian_smooth(mesh: Mesh, iterations: int = 3, lam: float = 0.5) -> Mesh:
+    """Uniform Laplacian smoothing (pymeshlab
+    `apply_coord_laplacian_smoothing` equivalent, generate_uncond.py:117)."""
+    v = mesh.vertices.astype(np.float64)
+    for _ in range(iterations):
+        v = _uniform_laplacian_step(v, mesh.faces, lam)
+    return Mesh(v.astype(np.float32), mesh.faces)
+
+
+def smooth_borders(mesh: Mesh, iterations: int = 20, lam: float = 0.3) -> Mesh:
+    """Laplacian smoothing restricted to open-border vertices.
+
+    Mirrors the reference's border smoothing (meshudf.py:404-434: λ=0.3,
+    20 iterations, neighbors restricted to other border vertices).
+    """
+    border = boundary_vertices(mesh)
+    if len(border) == 0 or len(mesh.faces) == 0:
+        return mesh
+    is_border = np.zeros(len(mesh.vertices), bool)
+    is_border[border] = True
+    # Border-edge graph only (border vertex ↔ border vertex via border edges).
+    e = _edges_of(mesh.faces)
+    uniq, counts = np.unique(e, axis=0, return_counts=True)
+    be = uniq[counts == 1]
+    v = mesh.vertices.astype(np.float64)
+    both = np.concatenate([be, be[:, ::-1]], axis=0)
+    for _ in range(iterations):
+        acc = np.zeros_like(v)
+        cnt = np.zeros(len(v))
+        np.add.at(acc, both[:, 0], v[both[:, 1]])
+        np.add.at(cnt, both[:, 0], 1.0)
+        upd = cnt > 0
+        mean = np.where(upd[:, None], acc / np.maximum(cnt, 1)[:, None], v)
+        v[is_border] = v[is_border] + lam * (mean[is_border] - v[is_border])
+    return Mesh(v.astype(np.float32), mesh.faces)
+
+
+def fill_triangle_holes(mesh: Mesh) -> Mesh:
+    """Fill 3-edge boundary loops with one triangle (trimesh fill_holes lite,
+    sufficient for the stabilize loop at meshudf.py:381-402)."""
+    if len(mesh.faces) == 0:
+        return mesh
+    e = _edges_of(mesh.faces)
+    uniq, counts = np.unique(e, axis=0, return_counts=True)
+    be = uniq[counts == 1]
+    if len(be) == 0:
+        return mesh
+    # adjacency among border edges; find triangles a-b, b-c, a-c
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in be:
+        adj[a].add(b)
+        adj[b].add(a)
+    edge_set = {(int(a), int(b)) for a, b in be}
+    new_faces = []
+    seen = set()
+    for a, b in be:
+        commons = adj[int(a)] & adj[int(b)]
+        for c in commons:
+            tri = tuple(sorted((int(a), int(b), int(c))))
+            if tri in seen:
+                continue
+            if (tri[0], tri[1]) in edge_set and (tri[1], tri[2]) in edge_set and (
+                tri[0], tri[2]
+            ) in edge_set:
+                seen.add(tri)
+                new_faces.append(tri)
+    if not new_faces:
+        return mesh
+    return Mesh(mesh.vertices, np.concatenate([mesh.faces, np.array(new_faces)], axis=0))
+
+
+def stabilize(mesh: Mesh, max_rounds: int = 5) -> Mesh:
+    """Repeat dedup/degenerate-removal/hole-fill until stable
+    (the reference's repeat-until-stable loop, meshudf.py:381-402)."""
+    prev = -1
+    for _ in range(max_rounds):
+        mesh = merge_duplicate_vertices(mesh)
+        mesh = remove_duplicate_faces(mesh)
+        mesh = fill_triangle_holes(mesh)
+        if len(mesh.faces) == prev:
+            break
+        prev = len(mesh.faces)
+    return mesh
+
+
+def vertex_normals(mesh: Mesh) -> np.ndarray:
+    """Area-weighted vertex normals (trimesh equivalent)."""
+    v, f = mesh.vertices.astype(np.float64), mesh.faces
+    fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    vn = np.zeros_like(v)
+    for i in range(3):
+        np.add.at(vn, f[:, i], fn)
+    norm = np.linalg.norm(vn, axis=1, keepdims=True)
+    return (vn / np.maximum(norm, 1e-12)).astype(np.float32)

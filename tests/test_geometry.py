@@ -1,0 +1,225 @@
+"""Geometry tests on analytic UDFs (SURVEY.md §4d-e).
+
+sphere (closed) and open sheet fixtures check vertex-on-surface error,
+watertightness/openness, grid-filler equivalence with the dense oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surfd_tpu.geometry import (
+    GridFiller,
+    Mesh,
+    boundary_vertices,
+    eval_in_chunks,
+    fill_grid_dense,
+    filter_small_components,
+    keep_largest_component,
+    laplacian_smooth,
+    make_grad_fn,
+    marching_tetrahedra,
+    marching_tetrahedra_udf,
+    merge_duplicate_vertices,
+    read_obj,
+    smooth_borders,
+    stabilize,
+    vertex_normals,
+    write_obj,
+)
+
+R = 64
+RADIUS = 0.6
+
+
+def sphere_sdf_grid(r=R):
+    xs = np.linspace(-1, 1, r, dtype=np.float64)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    return np.linalg.norm(g, axis=-1) - RADIUS
+
+
+def sphere_udf_grids(r=R, max_dist=0.1):
+    xs = np.linspace(-1, 1, r, dtype=np.float64)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    d = np.linalg.norm(g, axis=-1)
+    udf = np.minimum(np.abs(d - RADIUS), max_dist)
+    grad = g / np.maximum(d[..., None], 1e-9) * np.sign(d - RADIUS)[..., None]
+    return udf, grad
+
+
+def open_sheet_udf_grids(r=R, max_dist=0.1):
+    """Open square sheet: z=0 plane restricted to |x|,|y| ≤ 0.5."""
+    xs = np.linspace(-1, 1, r, dtype=np.float64)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    cx = np.clip(g[..., 0], -0.5, 0.5)
+    cy = np.clip(g[..., 1], -0.5, 0.5)
+    closest = np.stack([cx, cy, np.zeros_like(cx)], axis=-1)
+    diff = g - closest
+    d = np.linalg.norm(diff, axis=-1)
+    udf = np.minimum(d, max_dist)
+    grad = diff / np.maximum(d[..., None], 1e-9)
+    return udf, grad
+
+
+def _is_watertight(mesh: Mesh) -> bool:
+    return len(boundary_vertices(mesh)) == 0
+
+
+def test_mt_sphere_accuracy_and_watertight():
+    mesh = marching_tetrahedra(sphere_sdf_grid(), iso=0.0)
+    assert len(mesh.faces) > 1000
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    # vertex-on-surface error well below a voxel (2/63 ≈ 0.032)
+    assert np.abs(r - RADIUS).max() < 0.01
+    assert _is_watertight(mesh)
+    # Euler characteristic of a sphere: V - E + F = 2
+    E = len(np.unique(np.sort(np.concatenate(
+        [mesh.faces[:, [0, 1]], mesh.faces[:, [1, 2]], mesh.faces[:, [2, 0]]]), axis=1), axis=0))
+    assert len(mesh.vertices) - E + len(mesh.faces) == 2
+
+
+def test_mt_sphere_orientation_outward():
+    mesh = marching_tetrahedra(sphere_sdf_grid(), iso=0.0)
+    v, f = mesh.vertices, mesh.faces
+    n = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    centers = v[f].mean(axis=1)
+    # all normals point away from origin
+    assert ((n * centers).sum(1) > 0).mean() > 0.999
+
+
+def test_mt_udf_sphere_matches_signed():
+    udf, grad = sphere_udf_grids()
+    mesh = marching_tetrahedra_udf(udf, grad)
+    assert len(mesh.faces) > 1000
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    assert np.abs(r - RADIUS).max() < 0.01
+    # closed surface stays closed through the pseudo-sign route
+    assert _is_watertight(mesh)
+
+
+def test_mt_udf_open_sheet():
+    udf, grad = open_sheet_udf_grids()
+    mesh = marching_tetrahedra_udf(udf, grad)
+    assert len(mesh.faces) > 200
+    # all vertices on the sheet plane, within its extent (+1 voxel tolerance)
+    vox = 2 / (R - 1)
+    assert np.abs(mesh.vertices[:, 2]).max() < vox
+    assert np.abs(mesh.vertices[:, :2]).max() < 0.5 + 2 * vox
+    # an open sheet must have a boundary
+    assert len(boundary_vertices(mesh)) > 0
+    # area ≈ 1.0 (unit square)
+    v, f = mesh.vertices.astype(np.float64), mesh.faces
+    area = 0.5 * np.linalg.norm(
+        np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]]), axis=1
+    ).sum()
+    assert area == pytest.approx(1.0, rel=0.1)
+
+
+def _sphere_udf_fn(pts):
+    d = jnp.linalg.norm(pts, axis=-1)
+    return jnp.minimum(jnp.abs(d - RADIUS), 0.1)
+
+
+def test_grid_filler_matches_dense():
+    gf = GridFiller(resolution=128, max_batch=2**14)
+    assert gf.block > 1  # sparsification must engage at this resolution
+    grid, stats = gf.fill(jax.jit(_sphere_udf_fn), return_stats=True)
+    dense = fill_grid_dense(jax.jit(_sphere_udf_fn), 128, max_batch=2**14)
+    # Coarse-to-fine must be exact in the near band that MT reads.
+    band = dense < 2.5 * gf.spacing
+    assert band.sum() > 0
+    np.testing.assert_allclose(grid[band], dense[band], atol=1e-6)
+    # and must actually skip most of the volume
+    assert stats["fine_points"] < 0.7 * stats["dense_points"]
+    # meshes extracted from sparse vs dense grids agree
+    g = make_grad_fn(jax.jit(_sphere_udf_fn))
+    grads = gf.fill_gradients(g, grid)
+    mesh = marching_tetrahedra_udf(grid.astype(np.float64), grads.astype(np.float64))
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    assert np.abs(r - RADIUS).max() < 0.01
+
+
+def test_eval_in_chunks_padding():
+    f = jax.jit(lambda p: p[:, 0] * 2)
+    pts = np.random.default_rng(0).normal(size=(1000, 3)).astype(np.float32)
+    out = eval_in_chunks(f, pts, 256)
+    np.testing.assert_allclose(out, pts[:, 0] * 2, rtol=1e-6)
+    assert eval_in_chunks(f, pts[:0], 256).shape == (0,)
+
+
+def test_make_grad_fn_analytic():
+    g = make_grad_fn(jax.jit(lambda p: jnp.linalg.norm(p, axis=-1)))
+    pts = np.array([[0.3, 0.4, 0.0], [0.0, 0.0, 1.0]], np.float32)
+    out = np.asarray(g(jnp.asarray(pts)))
+    np.testing.assert_allclose(out[0], [0.6, 0.8, 0.0], atol=1e-5)
+    np.testing.assert_allclose(out[1], [0.0, 0.0, 1.0], atol=1e-5)
+
+
+# ---- mesh ops ----
+
+def _two_spheres_mesh():
+    sdf1 = sphere_sdf_grid(48)
+    xs = np.linspace(-1, 1, 48)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    sdf2 = np.linalg.norm(g - np.array([0.0, 0.0, 0.82]), axis=-1) - 0.1
+    return marching_tetrahedra(np.minimum(sdf1, sdf2), iso=0.0)
+
+
+def test_component_filters():
+    mesh = _two_spheres_mesh()
+    big = keep_largest_component(mesh)
+    assert len(big.faces) < len(mesh.faces)
+    r = np.linalg.norm(big.vertices, axis=1)
+    assert np.abs(r - RADIUS).max() < 0.02  # only the big sphere remains
+    small_removed = filter_small_components(mesh, min_faces=len(big.faces))
+    assert len(small_removed.faces) == len(big.faces)
+
+
+def test_laplacian_smooth_shrinks_but_preserves_topology():
+    mesh = marching_tetrahedra(sphere_sdf_grid(32), iso=0.0)
+    sm = laplacian_smooth(mesh, iterations=5, lam=0.5)
+    assert len(sm.faces) == len(mesh.faces)
+    assert np.linalg.norm(sm.vertices, axis=1).mean() < np.linalg.norm(
+        mesh.vertices, axis=1
+    ).mean()
+
+
+def test_smooth_borders_only_moves_border():
+    udf, grad = open_sheet_udf_grids()
+    mesh = marching_tetrahedra_udf(udf, grad)
+    border = boundary_vertices(mesh)
+    sm = smooth_borders(mesh, iterations=5)
+    interior = np.setdiff1d(np.arange(len(mesh.vertices)), border)
+    np.testing.assert_allclose(sm.vertices[interior], mesh.vertices[interior])
+    assert not np.allclose(sm.vertices[border], mesh.vertices[border])
+
+
+def test_stabilize_and_merge():
+    mesh = marching_tetrahedra(sphere_sdf_grid(32), iso=0.0)
+    # introduce duplicates
+    dup = Mesh(
+        np.concatenate([mesh.vertices, mesh.vertices[:5]]),
+        np.concatenate([mesh.faces, mesh.faces[:3]]),
+    )
+    out = stabilize(dup)
+    assert len(out.faces) == len(mesh.faces)
+    m = merge_duplicate_vertices(dup)
+    assert len(m.vertices) == len(mesh.vertices)
+
+
+def test_vertex_normals_sphere():
+    mesh = marching_tetrahedra(sphere_sdf_grid(), iso=0.0)
+    vn = vertex_normals(mesh)
+    radial = mesh.vertices / np.linalg.norm(mesh.vertices, axis=1, keepdims=True)
+    cos = (vn * radial).sum(1)
+    assert cos.mean() > 0.99
+
+
+def test_obj_roundtrip(tmp_path):
+    mesh = marching_tetrahedra(sphere_sdf_grid(32), iso=0.0)
+    p = str(tmp_path / "m.obj")
+    write_obj(p, mesh)
+    back = read_obj(p)
+    np.testing.assert_allclose(back.vertices, mesh.vertices, rtol=1e-5)
+    np.testing.assert_array_equal(back.faces, mesh.faces)
