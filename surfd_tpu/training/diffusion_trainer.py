@@ -1,0 +1,193 @@
+"""Latent-diffusion training step and loop.
+
+Re-design of the reference `TrainLoop`
+(/root/reference/training_loop_single.py:32-388) + `train_diffcloth.py`:
+
+  * The whole step (frozen DGCNN encode → q_sample → denoise → L1 → AdamW
+    update) is ONE jitted SPMD program over the ('data','model') mesh; DDP's
+    gradient all-reduce (train_diffcloth.py:180-184) becomes the psum XLA
+    inserts for the replicated-param/shard-batch layout.
+  * The latent-size selection bug (training_loop_single.py:103-106:
+    `'text' or 'img' in cond_mode` is always truthy → always 64) is fixed by
+    making latent size an explicit config field.
+  * Optimizer state IS checkpointed and resumed (the reference saves opt
+    state but never restores it, training_loop_single.py:158-169).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion import Schedule, training_losses
+from ..diffusion.gaussian import LossType, MeanType, VarType
+from ..models.mdm import MDM
+from .common import TrainState, ema_update, global_norm
+
+
+@dataclass
+class DiffusionTrainConfig:
+    latent_size: int = 32  # 32 deepfashion3d / 64 pix3d,text2shape (BASELINE.md)
+    batch_size: int = 2  # per reference train_diffcloth.py:143
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    num_steps: int = 600_000
+    log_interval: int = 100
+    save_interval: int = 50_000
+    l1_weight: float = 1000.0
+    ema_rate: float = 0.0  # 0 disables (reference keeps no EMA)
+    num_points_pcd: int = 10_000
+    schedule_sampler: str = "uniform"
+    cond_mode: str = "no_cond"
+
+
+def make_train_step(
+    mdm: MDM,
+    sched: Schedule,
+    tx: optax.GradientTransformation,
+    encoder_apply: Optional[Callable] = None,
+    l1_weight: float = 1000.0,
+    ema_rate: float = 0.0,
+):
+    """Build the jitted train step.
+
+    Inputs per call:
+      state    — TrainState (replicated)
+      batch    — dict with either 'latents' (B, L) or 'pcd' (B, N, 3) when
+                 encoder_apply is given (frozen DGCNN,
+                 training_loop_single.py:192-194), plus optional
+                 'context' (B, 512) / 'action' (B,) conditioning
+      t        — (B,) timestep indices from the schedule sampler
+      weights  — (B,) importance weights
+      rng      — PRNGKey
+
+    Returns (new_state, metrics) where metrics includes the per-example loss
+    vector for LossAwareSampler updates (no collective needed: under pjit the
+    output is globally addressable, replacing resample.py:83-99).
+    """
+
+    def loss_fn(params, batch, t, weights, rng):
+        if "latents" in batch:
+            latents = batch["latents"]
+        else:
+            assert encoder_apply is not None
+            latents = jax.lax.stop_gradient(encoder_apply(batch["pcd"]))
+        x0 = latents[..., None]  # (B, L, 1)
+
+        context = batch.get("context")
+        action = batch.get("action")
+
+        def model_fn(x, tt):
+            return mdm.apply({"params": params}, x, tt, context=context, action=action)
+
+        terms = training_losses(
+            sched, model_fn, x0, t, rng,
+            mean_type=MeanType.START_X, var_type=VarType.FIXED_SMALL,
+            loss_type=LossType.MSE, l1_weight=l1_weight,
+        )
+        loss = (terms["loss"] * weights).mean()
+        return loss, terms
+
+    @jax.jit
+    def train_step(state: TrainState, batch, t, weights, rng):
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, t, weights, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            ema = ema_update(ema, params, ema_rate)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
+        )
+        metrics = {
+            "loss": loss,
+            "latent_l1": terms["latent_l1"].mean(),
+            "per_example_loss": terms["loss"],
+            "grad_norm": global_norm(grads),
+            "param_norm": global_norm(params),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+class DiffusionTrainer:
+    """Host-side training loop driving the jitted step.
+
+    Mirrors TrainLoop.run_loop (training_loop_single.py:173-247): per step
+    sample 10k pcd points (fixed indices shared across steps,
+    train_diffcloth.py:189-190 — here fresh indices per run), encode, build
+    cond, importance-sample t, step, log, checkpoint.
+    """
+
+    def __init__(
+        self,
+        cfg: DiffusionTrainConfig,
+        mdm: MDM,
+        sched: Schedule,
+        state: TrainState,
+        data_iter,
+        encoder_apply=None,
+        schedule_sampler=None,
+        checkpointer=None,
+        logger=None,
+        mesh=None,
+    ):
+        from ..diffusion import create_named_schedule_sampler
+
+        self.cfg = cfg
+        self.mdm = mdm
+        self.sched = sched
+        self.state = state
+        self.data_iter = data_iter
+        self.tx = None  # owned by the step closure
+        self.schedule_sampler = schedule_sampler or create_named_schedule_sampler(
+            cfg.schedule_sampler, sched.num_timesteps
+        )
+        self.checkpointer = checkpointer
+        self.logger = logger
+        self.mesh = mesh
+        from .common import make_optimizer
+
+        tx = make_optimizer(cfg.lr, cfg.weight_decay)
+        self._step_fn = make_train_step(
+            mdm, sched, tx, encoder_apply, cfg.l1_weight, cfg.ema_rate
+        )
+        self._np_rng = np.random.default_rng(0)
+
+    def run(self, num_steps: Optional[int] = None, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        num_steps = num_steps or self.cfg.num_steps
+        start = int(self.state.step)
+        for _ in range(start, num_steps):
+            batch = next(self.data_iter)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                batch = shard_batch(self.mesh, batch)
+            B = jax.tree.leaves(batch)[0].shape[0]
+            t, weights = self.schedule_sampler.sample(B, self._np_rng)
+            rng, sub = jax.random.split(rng)
+            self.state, metrics = self._step_fn(
+                self.state, batch, jnp.asarray(t), jnp.asarray(weights), sub
+            )
+            self.schedule_sampler.update_with_all_losses(
+                t, np.asarray(metrics["per_example_loss"])
+            )
+            step = int(self.state.step)
+            if self.logger and step % self.cfg.log_interval == 0:
+                self.logger.log_metrics(
+                    {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0},
+                    step=step,
+                )
+            if self.checkpointer and step % self.cfg.save_interval == 0:
+                self.checkpointer.save(step, self.state)
+        return self.state

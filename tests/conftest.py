@@ -7,12 +7,17 @@ Must run before jax initializes, hence env vars at import time.
 
 import os
 
-# Force-set (not setdefault): the machine env pins JAX_PLATFORMS=axon (the
-# real TPU tunnel); tests must run on the virtual CPU mesh unless explicitly
-# requested with SURFD_TEST_TPU=1.
-if not os.environ.get("SURFD_TEST_TPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The machine's sitecustomize imports jax and registers the axon (TPU) PJRT
+# plugin before conftest runs, so env vars alone are too late; backends are
+# still lazy though, so jax.config can re-pin the platform. Tests run on the
+# virtual 8-device CPU mesh unless SURFD_TEST_TPU=1 is set.
+if not os.environ.get("SURFD_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
