@@ -27,6 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: the 1000-step sampler and the decoder executables
+# take minutes to compile through the remote-compile tunnel; cache survives
+# across bench runs in the same container.
+jax.config.update("jax_compilation_cache_dir", "/tmp/surfd_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

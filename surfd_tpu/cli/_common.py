@@ -1,0 +1,157 @@
+"""Shared plumbing for the generation CLIs.
+
+All five reference scripts share one skeleton (SURVEY.md §2.8): load model →
+sample latents → decode UDF grids → extract + clean meshes → write. The
+checkpoint story differs from the reference (torch .pt): denoiser state comes
+from an Orbax run directory and AE weights from an npz export
+(utils/checkpoint.py save_params_npz) — `--random-init` runs the pipe with
+fresh weights for smoke testing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=desc)
+    ap.add_argument("--ae_dir", default="", help="AE run dir (ae.npz + config.json)")
+    ap.add_argument("--model_path", default="", help="diffusion run dir (orbax) or npz")
+    ap.add_argument("--random-init", action="store_true", help="fresh weights (smoke test)")
+    ap.add_argument("--num_samples", type=int, default=2)
+    ap.add_argument("--resolution", type=int, default=256)
+    ap.add_argument("--latent_size", type=int, default=32)
+    ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "plms"])
+    ap.add_argument("--timestep_respacing", default="")
+    ap.add_argument("--guidance_param", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=10)
+    ap.add_argument("--output_dir", default="outputs")
+    ap.add_argument("--watertight", action="store_true")
+    ap.add_argument("--min_component_faces", type=int, default=0)
+    ap.add_argument("--smooth_iters", type=int, default=0)
+    ap.add_argument("--max_batch", type=int, default=2**17)
+    return ap
+
+
+def build_schedule(args):
+    from ..diffusion import named_beta_schedule, named_schedule, space_timesteps, spaced_schedule
+
+    if args.timestep_respacing:
+        base = named_beta_schedule("cosine", 1000)
+        return spaced_schedule(base, space_timesteps(1000, args.timestep_respacing))
+    return named_schedule("cosine", 1000)
+
+
+def load_denoiser(args, cond_mode: str):
+    """MDM + params from --model_path (npz or orbax dir) or random init."""
+    from ..models import MDM
+
+    mdm = MDM(cond_mode=cond_mode, clip_dim=512)
+    L = args.latent_size
+    x = jnp.zeros((1, L, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    kw = {}
+    if cond_mode in ("text", "sketch", "img"):
+        kw["context"] = jnp.zeros((1, 512))
+    elif cond_mode == "category":
+        kw["action"] = jnp.zeros((1,), jnp.int32)
+    variables = mdm.init(jax.random.PRNGKey(0), x, t, **kw)
+    if args.random_init or not args.model_path:
+        if not args.random_init:
+            print("WARNING: no --model_path given; using random weights", file=sys.stderr)
+        return mdm, variables
+    from ..utils.checkpoint import load_params_npz
+
+    if args.model_path.endswith(".npz"):
+        params = load_params_npz(args.model_path, variables["params"])
+        return mdm, {"params": params}
+    # orbax run dir: restore the train state and take (ema_)params
+    from ..training import create_train_state, make_optimizer
+    from ..utils.checkpoint import Checkpointer
+
+    state = create_train_state(variables["params"], make_optimizer())
+    restored = Checkpointer(args.model_path).restore(jax.tree.map(np.asarray, state))
+    params = restored.ema_params if restored.ema_params is not None else restored.params
+    return mdm, {"params": params}
+
+
+def load_decoder(args):
+    """CbnDecoder + variables from --ae_dir/ae.npz (flat npz of params and
+    batch_stats) or random init."""
+    from ..models import CbnDecoder, CoordsEncoder
+
+    decoder = CbnDecoder(latent_dim=args.latent_size, hidden_dim=512, num_hidden_layers=5)
+    ce = CoordsEncoder()
+    variables = decoder.init(
+        jax.random.PRNGKey(1),
+        ce.encode(jnp.zeros((1, 8, 3))),
+        jnp.zeros((1, args.latent_size)),
+    )
+    path = os.path.join(args.ae_dir, "ae_decoder.npz") if args.ae_dir else ""
+    if path and os.path.exists(path):
+        from ..utils.checkpoint import load_params_npz
+
+        variables = load_params_npz(path, variables)
+    elif not args.random_init:
+        print("WARNING: no AE decoder weights found; using random weights", file=sys.stderr)
+    return decoder, variables
+
+
+def run_generation(args, cond_mode: str, context=None, action=None, tag: str = "sample"):
+    """Sample latents and extract one mesh per sample."""
+    from ..geometry import laplacian_smooth, write_obj
+    from ..models.mdm import make_cfg_model_fn
+    from ..pipelines import (
+        MeshExtractionConfig,
+        get_mesh_from_udf,
+        get_watertight_mesh_from_udf,
+        make_udf_fn,
+        sample_latents,
+    )
+
+    sched = build_schedule(args)
+    mdm, variables = load_denoiser(args, cond_mode)
+    decoder, dec_vars = load_decoder(args)
+
+    model_fn = make_cfg_model_fn(
+        mdm, variables, args.guidance_param, context=context, action=action
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    t0 = time.perf_counter()
+    latents = sample_latents(
+        sched, model_fn, args.num_samples, args.latent_size, rng, sampler=args.sampler
+    )
+    latents.block_until_ready()
+    print(f"sampled {args.num_samples} latents in {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    cfg = MeshExtractionConfig(
+        resolution=args.resolution,
+        max_batch=args.max_batch,
+        min_component_faces=args.min_component_faces,
+        final_laplacian_iters=args.smooth_iters,
+    )
+    out_paths = []
+    for k in range(args.num_samples):
+        udf_fn = make_udf_fn(decoder, dec_vars, latents[k])
+        t0 = time.perf_counter()
+        if args.watertight:
+            mesh = get_watertight_mesh_from_udf(udf_fn, cfg)
+        else:
+            mesh = get_mesh_from_udf(udf_fn, cfg=cfg)
+        path = os.path.join(args.output_dir, f"{tag}_{k}.obj")
+        write_obj(path, mesh)
+        print(
+            f"[{k}] {len(mesh.vertices)} verts / {len(mesh.faces)} faces "
+            f"in {time.perf_counter()-t0:.2f}s → {path}",
+            file=sys.stderr,
+        )
+        out_paths.append(path)
+    return out_paths

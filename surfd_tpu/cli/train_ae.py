@@ -1,0 +1,152 @@
+"""AutoEncoder training CLI with curriculum learning.
+
+Parity with /root/reference/AutoEncoder/encdec/train_encdec.py +
+trainers/encdec.py:35-341: BCE-UDF + 0.1·grad loss, curriculum refresh every
+`val_every` epochs adding the `curriculum_add` easiest complement samples,
+best/last checkpointing, curriculum persistence.
+
+  python -m surfd_tpu.cli.train_ae --data_root DATA --save_dir runs/ae \
+      --latent_size 32 --num_epochs 6000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--save_dir", required=True)
+    ap.add_argument("--latent_size", type=int, default=32)
+    ap.add_argument("--hidden_dim", type=int, default=512)
+    ap.add_argument("--num_hidden_layers", type=int, default=5)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--num_epochs", type=int, default=6000)
+    ap.add_argument("--num_points_pcd", type=int, default=10_000)
+    ap.add_argument("--num_points_forward", type=int, default=20_000)
+    ap.add_argument("--max_dist", type=float, default=0.1)
+    ap.add_argument("--curriculum", action="store_true")
+    ap.add_argument("--curriculum_init", type=int, default=100)
+    ap.add_argument("--curriculum_add", type=int, default=100)
+    ap.add_argument("--val_every", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=10)
+    ap.add_argument("--log_interval", type=int, default=10)
+    args = ap.parse_args()
+
+    from ..data import CurriculumState, SequenceSamplerTrain, UdfDataset, ae_batch_iterator
+    from ..data.datasets import random_point_sampling
+    from ..training import AETrainConfig, create_train_state, init_ae, make_ae_eval_step, make_ae_train_step, make_optimizer
+    from ..utils import Logger, fixseed
+    from ..utils.checkpoint import Checkpointer, save_params_npz
+
+    fixseed(args.seed)
+    np_rng = np.random.default_rng(args.seed)
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    dataset = UdfDataset(args.data_root, "train")
+    n = len(dataset)
+    cur_path = os.path.join(args.save_dir, "training_idxes.txt")
+    if args.curriculum:
+        if os.path.exists(cur_path):
+            state_cur = CurriculumState.load(cur_path, n)
+        else:
+            init_idx = np_rng.choice(n, size=min(args.curriculum_init, n), replace=False)
+            state_cur = CurriculumState(n, init_idx.tolist())
+    else:
+        state_cur = CurriculumState(n, list(range(n)))
+
+    cfg = AETrainConfig(
+        latent_size=args.latent_size,
+        hidden_dim=args.hidden_dim,
+        num_hidden_layers=args.num_hidden_layers,
+        num_points_pcd=args.num_points_pcd,
+        num_points_forward=args.num_points_forward,
+        max_dist=args.max_dist,
+        lr=args.lr,
+        batch_size=args.batch_size,
+    )
+    encoder, decoder, params, batch_stats = init_ae(
+        jax.random.PRNGKey(0), cfg,
+        jnp.zeros((1, args.num_points_pcd, 3)),
+        jnp.zeros((1, args.num_points_forward, 3)),
+    )
+    tx = make_optimizer(cfg.lr)
+    state = create_train_state(params, tx, batch_stats=batch_stats)
+    train_step = make_ae_train_step(encoder, decoder, tx, max_dist=cfg.max_dist)
+    eval_step = make_ae_eval_step(encoder, decoder, max_dist=cfg.max_dist)
+
+    ck = Checkpointer(os.path.join(args.save_dir, "ckpt"))
+    if ck.latest_step() is not None:
+        state = ck.restore(jax.tree.map(np.asarray, state))
+        print(f"resumed at step {int(state.step)}", file=sys.stderr)
+
+    logger = Logger(args.save_dir, formats=("stdout", "jsonl", "csv"))
+    sampler = SequenceSamplerTrain(state_cur, np_rng)
+    train_iter = ae_batch_iterator(
+        dataset, lambda: list(sampler), args.batch_size,
+        args.num_points_pcd, args.num_points_forward, np_rng, args.max_dist,
+    )
+
+    def run_val_and_grow():
+        """Validate the complement set, add the easiest (encdec.py:228-296)."""
+        comp = state_cur.complement
+        if not comp:
+            return
+        variables = {
+            "encoder": {"params": state.params["encoder"], "batch_stats": state.batch_stats["encoder"]},
+            "decoder": {"params": state.params["decoder"], "batch_stats": state.batch_stats["decoder"]},
+        }
+        losses = []
+        for i in comp:
+            item = dataset[i]
+            batch = {
+                "pcd": jnp.asarray(random_point_sampling(item["pcd"], args.num_points_pcd, np_rng))[None],
+                "coords": jnp.asarray(random_point_sampling(item["coords"], args.num_points_forward, np_rng))[None],
+            }
+            sel = random_point_sampling(
+                np.concatenate([item["coords"], item["labels"][:, None]], -1),
+                args.num_points_forward, np_rng,
+            )
+            batch["coords"] = jnp.asarray(sel[:, :3])[None]
+            batch["udf"] = jnp.asarray(sel[:, 3])[None]
+            losses.append(float(eval_step(variables, batch)[0]))
+        state_cur.add_easiest(comp, losses, args.curriculum_add)
+        state_cur.save(cur_path)
+        logger.log_metrics({"curriculum_size": len(state_cur.training_idxes)}, int(state.step))
+
+    global_step = int(state.step)
+    for epoch in range(args.num_epochs):
+        steps_per_epoch = max(len(state_cur.training_idxes) // args.batch_size, 1)
+        for _ in range(steps_per_epoch):
+            state, metrics = train_step(state, next(train_iter))
+            global_step = int(state.step)
+            if global_step % args.log_interval == 0:
+                logger.log_metrics(
+                    {k: float(v) for k, v in metrics.items()}, global_step
+                )
+        if args.curriculum and (epoch + 1) % args.val_every == 0:
+            run_val_and_grow()
+        if (epoch + 1) % 50 == 0 or epoch == args.num_epochs - 1:
+            ck.save(global_step, state, force=True)
+            save_params_npz(
+                os.path.join(args.save_dir, "ae_encoder.npz"),
+                {"params": state.params["encoder"], "batch_stats": state.batch_stats["encoder"]},
+            )
+            save_params_npz(
+                os.path.join(args.save_dir, "ae_decoder.npz"),
+                {"params": state.params["decoder"], "batch_stats": state.batch_stats["decoder"]},
+            )
+    ck.wait()
+    print(f"done at step {global_step}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Diffusion training CLI.
+
+Parity with /root/reference/train_diffcloth.py:99-190 re-architected for a
+device mesh: one SPMD program, batch sharded over the 'data' axis (replacing
+DDP/NCCL, :110-117,180-184), frozen DGCNN latents, L1 x0 loss, checkpoint +
+resume (optimizer state included).
+
+  python -m surfd_tpu.cli.train_diffusion --data_root DATA --cond_mode no_cond \
+      --ae_dir runs/ae --save_dir runs/diffusion --num_steps 600000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--cond_mode", default="no_cond",
+                    choices=["no_cond", "text", "sketch", "img", "category"])
+    ap.add_argument("--ae_dir", default="", help="dir with ae_encoder.npz")
+    ap.add_argument("--save_dir", required=True)
+    ap.add_argument("--latent_size", type=int, default=32)
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--num_steps", type=int, default=600_000)
+    ap.add_argument("--log_interval", type=int, default=100)
+    ap.add_argument("--save_interval", type=int, default=50_000)
+    ap.add_argument("--num_points_pcd", type=int, default=10_000)
+    ap.add_argument("--schedule_sampler", default="uniform",
+                    choices=["uniform", "loss-second-moment"])
+    ap.add_argument("--seed", type=int, default=10)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--captions_csv", default="")
+    ap.add_argument("--overwrite", action="store_true")
+    args = ap.parse_args()
+
+    if os.path.exists(args.save_dir) and os.listdir(args.save_dir) and not (
+        args.resume or args.overwrite
+    ):
+        # save_dir guard (reference train_diffcloth.py:122-123)
+        raise SystemExit(f"save_dir {args.save_dir} exists; pass --resume or --overwrite")
+    os.makedirs(args.save_dir, exist_ok=True)
+    with open(os.path.join(args.save_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)  # args dump parity (:126-130)
+
+    from ..data import DiffusionDataset, diffusion_batch_iterator
+    from ..diffusion import named_schedule
+    from ..models import MDM, Dgcnn
+    from ..parallel import make_mesh
+    from ..training import (
+        DiffusionTrainConfig,
+        DiffusionTrainer,
+        create_train_state,
+        make_optimizer,
+    )
+    from ..utils import Logger, fixseed
+    from ..utils.checkpoint import Checkpointer, load_params_npz
+
+    rng = fixseed(args.seed)
+    np_rng = np.random.default_rng(args.seed)
+
+    dataset = DiffusionDataset(
+        args.data_root, "train", cond_mode=args.cond_mode,
+        captions_csv=args.captions_csv or None,
+    )
+    data_iter = diffusion_batch_iterator(
+        dataset, args.batch_size, args.num_points_pcd, np_rng
+    )
+
+    # frozen encoder (training_loop_single.py:106-113)
+    encoder = Dgcnn(size_latent=args.latent_size)
+    probe = jnp.zeros((1, args.num_points_pcd, 3))
+    enc_vars = encoder.init(jax.random.PRNGKey(0), probe)
+    enc_path = os.path.join(args.ae_dir, "ae_encoder.npz") if args.ae_dir else ""
+    if enc_path and os.path.exists(enc_path):
+        enc_vars = load_params_npz(enc_path, enc_vars)
+    else:
+        print("WARNING: no AE encoder weights; using random encoder", file=sys.stderr)
+
+    mdm = MDM(cond_mode=args.cond_mode)
+    x0 = jnp.zeros((args.batch_size, args.latent_size, 1))
+    t0 = jnp.zeros((args.batch_size,), jnp.int32)
+    kw = {}
+    if args.cond_mode in ("text", "sketch", "img"):
+        kw["context"] = jnp.zeros((args.batch_size, 512))
+    elif args.cond_mode == "category":
+        kw["action"] = jnp.zeros((args.batch_size,), jnp.int32)
+    params = mdm.init(jax.random.PRNGKey(1), x0, t0, **kw)["params"]
+
+    sched = named_schedule("cosine", 1000)
+    cfg = DiffusionTrainConfig(
+        latent_size=args.latent_size,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        num_steps=args.num_steps,
+        log_interval=args.log_interval,
+        save_interval=args.save_interval,
+        num_points_pcd=args.num_points_pcd,
+        schedule_sampler=args.schedule_sampler,
+        cond_mode=args.cond_mode,
+    )
+    tx = make_optimizer(cfg.lr)
+    state = create_train_state(params, tx)
+
+    ck = Checkpointer(os.path.join(args.save_dir, "ckpt"))
+    if args.resume and ck.latest_step() is not None:
+        state = ck.restore(jax.tree.map(np.asarray, state))
+        print(f"resumed at step {int(state.step)}", file=sys.stderr)
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    logger = Logger(args.save_dir, formats=("stdout", "jsonl", "csv"))
+
+    trainer = DiffusionTrainer(
+        cfg, mdm, sched, state, data_iter,
+        encoder_apply=lambda p: encoder.apply(enc_vars, p),
+        checkpointer=ck, logger=logger, mesh=mesh,
+    )
+    final = trainer.run(rng=rng)
+    ck.save(int(final.step), final, force=True)
+    ck.wait()
+    print(f"done at step {int(final.step)}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

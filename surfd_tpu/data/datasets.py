@@ -1,0 +1,195 @@
+"""UDF datasets and batch iterators.
+
+Re-design of /root/reference/AutoEncoder/data/dataset.py:14-95 (AE side) and
+/root/reference/data_loaders/dataset.py:96-258 (diffusion side). Items live as
+npz files (vertices/triangles/pcd/coords/labels/gradients — the payload
+data/preprocess.py emits, same as the reference's preprocess_udfs.py:147-155).
+
+The torch DataLoader + worker processes are replaced by a simple prefetching
+iterator: batches are assembled in numpy (npz mmap) and shipped to device
+whole — on TPU the expensive part is the transfer, not the decode, and the
+jitted step wants one contiguous batch anyway.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def random_point_sampling(
+    points: np.ndarray, n: int, rng: np.random.Generator, inds: np.ndarray | None = None
+) -> np.ndarray:
+    """Subsample n points along axis -2 (reference utils/utils.py:44-147;
+    `inds` replays fixed indices like train_diffcloth.py:189-190)."""
+    total = points.shape[-2]
+    if inds is None:
+        inds = rng.choice(total, size=n, replace=n > total)
+    return points[..., inds, :]
+
+
+class UdfDataset:
+    """npz-per-item dataset for the AutoEncoder.
+
+    Matches `UdfsDataset` (AutoEncoder/data/dataset.py:14-95): item i returns
+    index/id/pcd/coords/labels/gradients. File discovery: every *.npz under
+    root/split (or an explicit id list file).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        file_list: Optional[Sequence[str]] = None,
+        mmap: bool = True,
+    ):
+        self.root = Path(root)
+        self.split = split
+        base = self.root / split if (self.root / split).is_dir() else self.root
+        if file_list is not None:
+            self.files = [base / f"{fid}.npz" for fid in file_list]
+        else:
+            self.files = sorted(base.glob("*.npz"))
+        if not self.files:
+            raise FileNotFoundError(f"no npz items under {base}")
+        self.mmap = mmap
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def item_id(self, i: int) -> str:
+        return self.files[i].stem
+
+    def __getitem__(self, i: int) -> dict:
+        with np.load(self.files[i], mmap_mode="r" if self.mmap else None) as z:
+            return {
+                "index": i,
+                "id": self.item_id(i),
+                "pcd": np.asarray(z["pcd"], np.float32),
+                "coords": np.asarray(z["coords"], np.float32),
+                "labels": np.asarray(z["labels"], np.float32),
+                "gradients": np.asarray(z["gradients"], np.float32),
+            }
+
+
+class DiffusionDataset(UdfDataset):
+    """AE dataset + conditioning payloads for diffusion training.
+
+    Matches `UDFs3d` (data_loaders/dataset.py:96-258):
+      text     — caption per id (csv id,caption like text2shape, :118-127)
+      category — class index per id (garment_type_list.txt map, :129-137)
+      sketch/img — a precomputed 512-d CLIP embedding per id
+                 (`<id>.context.npy` next to the npz). The reference runs CLIP
+                 image preprocessing in DataLoader workers every epoch
+                 (:202-227); embeddings of frozen CLIP are constants, so they
+                 are computed once by the preprocessing CLI instead.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        cond_mode: str = "no_cond",
+        captions_csv: Optional[str] = None,
+        category_map: Optional[Dict[str, int]] = None,
+        **kw,
+    ):
+        super().__init__(root, split, **kw)
+        self.cond_mode = cond_mode
+        self.captions: Dict[str, str] = {}
+        if captions_csv:
+            with open(captions_csv) as f:
+                for row in csv.reader(f):
+                    if len(row) >= 2:
+                        self.captions[row[0]] = row[1]
+        self.category_map = category_map or {}
+
+    def __getitem__(self, i: int) -> dict:
+        item = super().__getitem__(i)
+        fid = item["id"]
+        if self.cond_mode == "text":
+            item["text"] = self.captions.get(fid, "")
+        elif self.cond_mode == "category":
+            item["action"] = np.int32(self.category_map.get(fid, 0))
+        elif self.cond_mode in ("sketch", "img"):
+            ctx_path = self.files[i].with_suffix(".context.npy")
+            if ctx_path.exists():
+                item["context"] = np.asarray(np.load(ctx_path), np.float32)
+            else:
+                item["context"] = np.zeros(512, np.float32)
+        return item
+
+
+def ae_batch_iterator(
+    dataset: UdfDataset,
+    indices_iter_factory: Callable[[], Sequence[int]],
+    batch_size: int,
+    num_points_pcd: int,
+    num_points_forward: int,
+    rng: np.random.Generator,
+    max_dist: float = 0.1,
+):
+    """Endless AE batches: per item subsample pcd + query points
+    (trainers/encdec.py:139-149)."""
+    from .curriculum import batched
+
+    while True:
+        for idx_batch in batched(iter(indices_iter_factory()), batch_size, drop_last=True):
+            pcds, coords, udfs, grads, idxes = [], [], [], [], []
+            for i in idx_batch:
+                item = dataset[i]
+                pcds.append(random_point_sampling(item["pcd"], num_points_pcd, rng))
+                cug = np.concatenate(
+                    [item["coords"], item["labels"][:, None], item["gradients"]], axis=-1
+                )
+                sel = random_point_sampling(cug, num_points_forward, rng)
+                coords.append(sel[:, :3])
+                udfs.append(sel[:, 3])
+                grads.append(sel[:, 4:])
+                idxes.append(i)
+            yield {
+                "pcd": np.stack(pcds),
+                "coords": np.stack(coords),
+                "udf": np.stack(udfs),
+                "gradients": np.stack(grads),
+                "indices": np.asarray(idxes, np.int32),
+            }
+
+
+def diffusion_batch_iterator(
+    dataset: DiffusionDataset,
+    batch_size: int,
+    num_points_pcd: int,
+    rng: np.random.Generator,
+    encode_text: Optional[Callable[[List[str]], np.ndarray]] = None,
+    shuffle: bool = True,
+):
+    """Endless diffusion batches: pcd subsample + cond payload
+    (training_loop_single.py:175-211). Text is encoded to CLIP context here —
+    once per batch, outside the compiled sampler/step."""
+    n = len(dataset)
+    while True:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for s in range(0, n - batch_size + 1, batch_size):
+            items = [dataset[int(i)] for i in order[s : s + batch_size]]
+            batch = {
+                "pcd": np.stack(
+                    [random_point_sampling(it["pcd"], num_points_pcd, rng) for it in items]
+                ),
+            }
+            if dataset.cond_mode == "text":
+                texts = [it["text"] for it in items]
+                if encode_text is not None:
+                    batch["context"] = encode_text(texts)
+                else:
+                    batch["texts"] = texts
+            elif dataset.cond_mode == "category":
+                batch["action"] = np.asarray([it["action"] for it in items], np.int32)
+            elif dataset.cond_mode in ("sketch", "img"):
+                batch["context"] = np.stack([it["context"] for it in items])
+            yield batch

@@ -37,35 +37,45 @@ GradFn = Callable[[jnp.ndarray], jnp.ndarray]  # (P, 3) -> (P, 3)
 def eval_in_chunks(fn, pts: np.ndarray, chunk: int) -> np.ndarray:
     """Evaluate a jitted device fn over (P, ...) points in fixed-size chunks.
 
-    Pads the last chunk to `chunk` so only ONE executable is compiled.
+    Pads the last chunk to `chunk` so only ONE executable is compiled, and
+    dispatches every chunk before materializing any result — JAX dispatch is
+    async, so host→device transfer of chunk i+1 overlaps compute of chunk i.
     """
     P = pts.shape[0]
     if P == 0:
         probe = np.asarray(fn(jnp.zeros((chunk, 3), jnp.float32)))
         return np.zeros((0,) + probe.shape[1:], probe.dtype)
     n_chunks = math.ceil(P / chunk)
-    outs = []
+    pending = []
     for i in range(n_chunks):
         part = pts[i * chunk : (i + 1) * chunk]
         if part.shape[0] < chunk:
             part = np.concatenate(
                 [part, np.zeros((chunk - part.shape[0], pts.shape[1]), pts.dtype)], axis=0
             )
-        outs.append(np.asarray(fn(jnp.asarray(part))))
-    return np.concatenate(outs, axis=0)[:P]
+        pending.append(fn(jnp.asarray(part)))
+    # ONE device→host transfer: the axon tunnel has ~100-300 ms latency per
+    # transfer, so per-chunk np.asarray dominates everything else.
+    out = jnp.concatenate(pending, axis=0) if n_chunks > 1 else pending[0]
+    return np.asarray(out)[:P]
 
 
 def make_grad_fn(udf_fn: UdfFn) -> GradFn:
-    """∂udf/∂xyz via reverse-mode on the scalar-per-point decoder.
+    """∂udf/∂xyz via one batched VJP with a ones cotangent.
 
     Replaces the reference's double-backward `sample_grads`
-    (meshudf.py:231-251); `jax.grad` per point under vmap is one fused
-    forward+backward, with no graph retention.
+    (meshudf.py:231-251). The decoder evaluates points independently (eval
+    mode, running BN stats), so d(Σᵢ udfᵢ)/d pⱼ = ∂udfⱼ/∂pⱼ exactly — one
+    forward+backward over the whole chunk instead of a per-point vmap(grad).
     """
-    def single(p):
-        return udf_fn(p[None])[0]
 
-    return jax.jit(jax.vmap(jax.grad(single)))
+    @jax.jit
+    def grad_fn(pts):
+        _, vjp_fn = jax.vjp(udf_fn, pts)
+        (g,) = vjp_fn(jnp.ones(pts.shape[:-1], pts.dtype))
+        return g
+
+    return grad_fn
 
 
 def auto_block_size(

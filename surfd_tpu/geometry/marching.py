@@ -96,10 +96,50 @@ def _cube_corner_gids(cube_xyz: np.ndarray, R: int) -> np.ndarray:
     return (corners[..., 0] * R + corners[..., 1]) * R + corners[..., 2]
 
 
+def _gid_positions(gids: np.ndarray, R: int, lo: float, spacing: float) -> np.ndarray:
+    """Vertex positions straight from flat grid ids — never materializes the
+    R³ coordinate grid (which costs more than the whole extraction)."""
+    x = gids // (R * R)
+    rem = gids % (R * R)
+    y = rem // R
+    z = rem % R
+    return (np.stack([x, y, z], axis=-1).astype(np.float32) * spacing + lo)
+
+
+def _collect_tri_edges(corner_vals: np.ndarray, corner_gids: np.ndarray) -> np.ndarray:
+    """MT case lookup over all 6 tets → (T, 3, 2) triangle edge endpoint gids."""
+    tri_edge_gids = []
+    inside = corner_vals < 0.0 if corner_vals.dtype != np.bool_ else corner_vals
+
+    for tet in _TETS:
+        tin = inside[:, tet]
+        case = tin[:, 0] * 1 + tin[:, 1] * 2 + tin[:, 2] * 4 + tin[:, 3] * 8
+        tris = _TRI_TABLE[case]  # (M, 2, 3) edge ids
+        for s in range(2):
+            e = tris[:, s, :]
+            valid = e[:, 0] >= 0
+            if not valid.any():
+                continue
+            e = e[valid]
+            cube_sel = np.nonzero(valid)[0]
+            pairs = _TET_EDGES[e]  # (K, 3, 2) tet-local corner pairs
+            local = tet[pairs]  # cube-local corner ids
+            gids = np.take_along_axis(
+                corner_gids[cube_sel][:, None, :].repeat(3, axis=1), local, axis=2
+            )
+            tri_edge_gids.append(gids)
+
+    if not tri_edge_gids:
+        return np.zeros((0, 3, 2), np.int64)
+    return np.concatenate(tri_edge_gids, axis=0)
+
+
 def _emit_triangles(
     corner_vals: np.ndarray,  # (M, 8) signed values per active cube
     corner_gids: np.ndarray,  # (M, 8) global vertex ids
-    grid_points: np.ndarray,  # (R³, 3) vertex positions (flat)
+    R: int,
+    lo: float,
+    spacing: float,
     grid_vals: np.ndarray,  # (R³,) signed values used for interpolation (flat)
     iso: float,
 ) -> Mesh:
@@ -109,48 +149,26 @@ def _emit_triangles(
     signed field); interpolation positions come from `grid_vals`, which is
     consistent per global edge so shared edges dedup exactly.
     """
-    tri_edge_gids = []  # list of (K, 3, 2) endpoint-gid triples
-    inside = corner_vals < iso  # (M, 8)
-
-    for tet in _TETS:
-        tv = corner_vals[:, tet]  # (M, 4)
-        tin = inside[:, tet]
-        case = tin[:, 0] * 1 + tin[:, 1] * 2 + tin[:, 2] * 4 + tin[:, 3] * 8
-        tris = _TRI_TABLE[case]  # (M, 2, 3) edge ids
-        for s in range(2):
-            e = tris[:, s, :]  # (M, 3)
-            valid = e[:, 0] >= 0
-            if not valid.any():
-                continue
-            e = e[valid]
-            cube_sel = np.nonzero(valid)[0]
-            # local tet-corner pairs → local cube corners → global vertex ids
-            pairs = _TET_EDGES[e]  # (K, 3, 2) tet-local
-            local = tet[pairs]  # cube-local corner ids
-            gids = np.take_along_axis(
-                corner_gids[cube_sel][:, None, :].repeat(3, axis=1),
-                local,
-                axis=2,
-            )  # (K, 3, 2)
-            tri_edge_gids.append(gids)
-
-    if not tri_edge_gids:
+    gids = _collect_tri_edges(corner_vals - iso, corner_gids)
+    if len(gids) == 0:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
 
-    gids = np.concatenate(tri_edge_gids, axis=0)  # (T, 3, 2)
+    NV = R * R * R
     a = gids.min(axis=-1).ravel()
     b = gids.max(axis=-1).ravel()
-    keys = a * (grid_points.shape[0]) + b  # unique per undirected global edge
+    keys = a * NV + b  # unique per undirected global edge
     uniq, inv = np.unique(keys, return_inverse=True)
-    ua = (uniq // grid_points.shape[0]).astype(np.int64)
-    ub = (uniq % grid_points.shape[0]).astype(np.int64)
+    ua = (uniq // NV).astype(np.int64)
+    ub = (uniq % NV).astype(np.int64)
 
     va = grid_vals[ua]
     vb = grid_vals[ub]
     denom = va - vb
     t = np.where(np.abs(denom) > 1e-12, (va - iso) / np.where(denom == 0, 1, denom), 0.5)
-    t = np.clip(t, 0.0, 1.0)
-    verts = grid_points[ua] + t[:, None] * (grid_points[ub] - grid_points[ua])
+    t = np.clip(t, 0.0, 1.0).astype(np.float32)
+    pa = _gid_positions(ua, R, lo, spacing)
+    pb = _gid_positions(ub, R, lo, spacing)
+    verts = pa + t[:, None] * (pb - pa)
 
     faces = inv.reshape(-1, 3).astype(np.int64)
     # Drop degenerate faces created by t clamping onto shared grid vertices.
@@ -214,23 +232,37 @@ def marching_tetrahedra(
     if len(cube_xyz) == 0:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
 
-    flat_vals = values.reshape(-1).astype(np.float64)
+    flat_vals = values.reshape(-1).astype(np.float32)
     gids = _cube_corner_gids(cube_xyz, R)
     corner_vals = flat_vals[gids]
-    pts = _grid_points(R, coords_range)
-    mesh = _emit_triangles(corner_vals, gids, pts, flat_vals, iso)
+    lo, hi = coords_range
+    spacing = (hi - lo) / (R - 1)
+    mesh = _emit_triangles(corner_vals, gids, R, lo, spacing, flat_vals, iso)
+    if len(mesh.faces) == 0:
+        return mesh
 
-    # Orient along the numerical field gradient (negative→positive).
-    gx, gy, gz = np.gradient(values.astype(np.float64))
-    grad = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-    # Outward direction at each mesh vertex ≈ gradient at the nearest grid
-    # vertex of its source edge (vertices lie on grid edges).
-    spacing = (coords_range[1] - coords_range[0]) / (R - 1)
-    vid = np.clip(
-        np.round((mesh.vertices - coords_range[0]) / spacing).astype(np.int64), 0, R - 1
+    # Orient along the numerical field gradient (negative→positive), with
+    # central differences gathered only at the mesh vertices' grid nodes.
+    vid = np.clip(np.round((mesh.vertices - lo) / spacing).astype(np.int64), 1, R - 2)
+    grad = _gathered_central_diff(flat_vals, vid, R)
+    return _orient_faces_by_gradient(mesh, grad)
+
+
+def _gathered_central_diff(flat_vals: np.ndarray, vid: np.ndarray, R: int) -> np.ndarray:
+    """Central-difference gradient at integer grid nodes vid (K, 3) — six
+    gathers instead of a full-grid np.gradient."""
+    def val(dx, dy, dz):
+        g = ((vid[:, 0] + dx) * R + (vid[:, 1] + dy)) * R + (vid[:, 2] + dz)
+        return flat_vals[g]
+
+    return np.stack(
+        [
+            val(1, 0, 0) - val(-1, 0, 0),
+            val(0, 1, 0) - val(0, -1, 0),
+            val(0, 0, 1) - val(0, 0, -1),
+        ],
+        axis=-1,
     )
-    vgid = (vid[:, 0] * R + vid[:, 1]) * R + vid[:, 2]
-    return _orient_faces_by_gradient(mesh, grad[vgid])
 
 
 def marching_tetrahedra_udf(
@@ -257,117 +289,84 @@ def marching_tetrahedra_udf(
     lo, hi = coords_range
     voxel = (hi - lo) / (R - 1)
 
-    u = udf.astype(np.float64)
-    g = gradients.astype(np.float64)
+    # float32 throughout: at 512³ the field is 0.5 GB and gradients 1.6 GB —
+    # fp64 would double the memory-bound sweep cost for no accuracy benefit.
+    u = np.ascontiguousarray(udf, dtype=np.float32)
+    flat_u = u.reshape(-1)
+    flat_g = np.ascontiguousarray(gradients, dtype=np.float32).reshape(-1, 3)
 
-    # --- per-axis edge crossings (globally consistent) ---
-    def axis_cross(axis):
-        sl_a = [slice(None)] * 3
-        sl_b = [slice(None)] * 3
-        sl_a[axis] = slice(0, R - 1)
-        sl_b[axis] = slice(1, R)
-        dot = (g[tuple(sl_a)] * g[tuple(sl_b)]).sum(axis=-1)
-        near = (u[tuple(sl_a)] <= near_mult * voxel) & (u[tuple(sl_b)] <= near_mult * voxel)
-        return (dot < 0.0) & near
-
-    cross_x = axis_cross(0)  # (R-1, R, R)
-    cross_y = axis_cross(1)  # (R, R-1, R)
-    cross_z = axis_cross(2)  # (R, R, R-1)
-
-    # --- active cubes: all corners near + at least one crossing edge ---
-    def corner_view(a, corner):
-        return a[
-            corner[0] : R - 1 + corner[0],
-            corner[1] : R - 1 + corner[1],
-            corner[2] : R - 1 + corner[2],
-        ]
-
-    near_all = corner_view(u <= near_mult * voxel, _CORNER_OFFSETS[0])
-    mean_u = corner_view(u, _CORNER_OFFSETS[0]).copy()
-    for corner in _CORNER_OFFSETS[1:]:
-        near_all = near_all & corner_view(u <= near_mult * voxel, corner)
-        mean_u += corner_view(u, corner)
-    mean_u /= 8.0
-    active = near_all & (mean_u < avg_mult * voxel)
-    if not active.any():
+    # --- candidate cubes: gather-driven, ONE full-grid pass total ---
+    # A cube participates only if all 8 corner UDFs are near; its min corner
+    # is then near too, so the near-voxel list bounds the candidate set and
+    # every subsequent computation is a gather over that (sparse) list.
+    near_thresh = np.float32(near_mult * voxel)
+    near = u <= near_thresh  # the single full-grid pass
+    cand = np.argwhere(near[: R - 1, : R - 1, : R - 1])
+    if len(cand) == 0:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
-
-    cube_xyz = np.argwhere(active)  # (M, 3)
-    x, y, z = cube_xyz[:, 0], cube_xyz[:, 1], cube_xyz[:, 2]
+    gids_c = _cube_corner_gids(cand, R)  # (C, 8)
+    u8 = flat_u[gids_c]
+    ok = (u8 <= near_thresh).all(axis=1) & (u8.mean(axis=1) < avg_mult * voxel)
+    if not ok.any():
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+    gids = gids_c[ok]  # (M, 8) corner gids of active cubes
+    u8 = u8[ok]
 
     # --- corner pseudo-signs by crossing parity along the canonical path ---
-    # path (0,0,0) → (dx,0,0) → (dx,dy,0) → (dx,dy,dz)
-    signs = np.ones((len(cube_xyz), 8), dtype=np.int8)
-    for ci, (dx, dy, dz) in enumerate(_CORNER_OFFSETS):
-        parity = np.zeros(len(cube_xyz), dtype=np.int8)
-        if dx:
-            parity ^= cross_x[x, y, z]
-        if dy:
-            parity ^= cross_y[x + dx, y, z]
-        if dz:
-            parity ^= cross_z[x + dx, y + dy, z]
-        signs[:, ci] = np.where(parity, -1, 1)
+    # path (0,0,0) → (dx,0,0) → (dx,dy,0) → (dx,dy,dz); an edge crosses the
+    # surface iff its endpoint gradients oppose (both endpoints are near by
+    # the cube gate). 7 distinct path edges per cube, computed by gathers.
+    def edge_cross(ca: int, cb: int) -> np.ndarray:
+        ga, gb = gids[:, ca], gids[:, cb]
+        return (flat_g[ga] * flat_g[gb]).sum(axis=-1) < 0.0
 
-    gids = _cube_corner_gids(cube_xyz, R)
-    flat_u = u.reshape(-1)
-    corner_vals = signs * flat_u[gids]  # (M, 8) pseudo-SDF
+    cx = edge_cross(0, 1)  # (0,0,0)-(1,0,0)
+    cy = (edge_cross(0, 2), edge_cross(1, 3))  # y-edge at dx = 0, 1
+    cz = (
+        (edge_cross(0, 4), edge_cross(2, 6)),  # dx=0: dy = 0, 1
+        (edge_cross(1, 5), edge_cross(3, 7)),  # dx=1: dy = 0, 1
+    )
+    signs = np.ones((len(gids), 8), dtype=np.float32)
+    for ci, (dx, dy, dz) in enumerate(_CORNER_OFFSETS):
+        parity = np.zeros(len(gids), dtype=bool)
+        if dx:
+            parity ^= cx
+        if dy:
+            parity ^= cy[dx]
+        if dz:
+            parity ^= cz[dx][dy]
+        if ci:
+            signs[:, ci] = np.where(parity, -1.0, 1.0)
+
+    corner_vals = signs * u8  # (M, 8) pseudo-SDF
 
     # Interpolation must be gauge-invariant: corner signs are only defined up
     # to a per-cube global flip, but every emitted edge has opposite signs at
     # its endpoints, so the crossing parameter t = u_a / (u_a + u_b) depends
     # only on the *unsigned* distances — identical in all cubes sharing the
     # edge, which makes the dedup exact and the surface crack-free.
-    pts = _grid_points(R, coords_range)
-    mesh = _emit_triangles_udf(corner_vals, gids, pts, flat_u)
+    mesh = _emit_triangles_udf(corner_vals, gids, R, lo, voxel, flat_u)
 
-    # --- orientation: outward ≈ mean of s_i · grad_i over the source edge ---
+    # --- orientation: outward ≈ raw UDF gradient at the nearest grid node ---
     if len(mesh.faces):
-        flat_g = g.reshape(-1, 3)
-        spacing = voxel
-        vid = np.clip(
-            np.round((mesh.vertices - lo) / spacing).astype(np.int64), 0, R - 1
-        )
+        vid = np.clip(np.round((mesh.vertices - lo) / voxel).astype(np.int64), 0, R - 1)
         vgid = (vid[:, 0] * R + vid[:, 1]) * R + vid[:, 2]
-        # Sign of the nearest grid vertex within some active cube: use +grad
-        # when its udf side is "positive"; approximating with the raw gradient
-        # field is sufficient for a consistent per-component orientation.
         mesh = _orient_faces_by_gradient(mesh, flat_g[vgid])
     return mesh
 
 
-def _emit_triangles_udf(corner_vals, corner_gids, grid_points, flat_u):
+def _emit_triangles_udf(corner_vals, corner_gids, R, lo, spacing, flat_u):
     """MT emission for pseudo-signed UDF cubes.
 
     Same as _emit_triangles but the interpolation parameter for a crossing
     edge (a, b) is t = u_a / (u_a + u_b) — both endpoints' unsigned distances
     — which is globally consistent regardless of the per-cube sign gauge.
     """
-    tri_edge_gids = []
-    inside = corner_vals < 0.0
-
-    for tet in _TETS:
-        tin = inside[:, tet]
-        case = tin[:, 0] * 1 + tin[:, 1] * 2 + tin[:, 2] * 4 + tin[:, 3] * 8
-        tris = _TRI_TABLE[case]
-        for s in range(2):
-            e = tris[:, s, :]
-            valid = e[:, 0] >= 0
-            if not valid.any():
-                continue
-            e = e[valid]
-            cube_sel = np.nonzero(valid)[0]
-            pairs = _TET_EDGES[e]
-            local = tet[pairs]
-            gids = np.take_along_axis(
-                corner_gids[cube_sel][:, None, :].repeat(3, axis=1), local, axis=2
-            )
-            tri_edge_gids.append(gids)
-
-    if not tri_edge_gids:
+    gids = _collect_tri_edges(corner_vals, corner_gids)
+    if len(gids) == 0:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
 
-    gids = np.concatenate(tri_edge_gids, axis=0)
-    NV = grid_points.shape[0]
+    NV = R * R * R
     a = gids.min(axis=-1).ravel()
     b = gids.max(axis=-1).ravel()
     keys = a * NV + b
@@ -375,8 +374,10 @@ def _emit_triangles_udf(corner_vals, corner_gids, grid_points, flat_u):
     ua = (uniq // NV).astype(np.int64)
     ub = (uniq % NV).astype(np.int64)
     su = flat_u[ua] + flat_u[ub]
-    t = np.where(su > 1e-12, flat_u[ua] / np.where(su == 0, 1, su), 0.5)
-    verts = grid_points[ua] + t[:, None] * (grid_points[ub] - grid_points[ua])
+    t = (flat_u[ua] / np.where(su <= 1e-12, 1, su)).astype(np.float32)
+    pa = _gid_positions(ua, R, lo, spacing)
+    pb = _gid_positions(ub, R, lo, spacing)
+    verts = pa + t[:, None] * (pb - pa)
     faces = inv.reshape(-1, 3).astype(np.int64)
     keep = (
         (faces[:, 0] != faces[:, 1])

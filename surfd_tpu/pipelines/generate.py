@@ -49,6 +49,8 @@ def make_udf_fn(
     sigmoid → 1−p → ×max_dist. The latent is an explicit jit argument (large
     closures would be embedded as HLO constants).
     """
+    from ..geometry import make_grad_fn
+
     enc = coords_encoder or CoordsEncoder()
 
     @jax.jit
@@ -57,7 +59,20 @@ def make_udf_fn(
         logits = decoder.apply(decoder_vars, emb, lat[None])
         return udf_from_logits(logits[0], max_dist)
 
-    return lambda pts: udf_fn_param(latent, pts)
+    udf_fn = lambda pts: udf_fn_param(latent, pts)
+    # Attach the matching gradient fn so repeated get_mesh_from_udf calls
+    # reuse ONE jitted executable instead of re-deriving (and re-compiling)
+    # the VJP every time.
+    udf_fn.grad_fn = make_grad_fn(udf_fn)
+
+    # Thresholded variant for the face filter: comparing on device and
+    # shipping uint8 instead of float32 quarters the d2h bytes.
+    @jax.jit
+    def udf_below(lat, pts, thr):
+        return (udf_fn_param(lat, pts) <= thr).astype(jnp.uint8)
+
+    udf_fn.below_fn = lambda pts, thr: udf_below(latent, pts, jnp.float32(thr))
+    return udf_fn
 
 
 def filter_faces_by_udf(
@@ -78,8 +93,13 @@ def filter_faces_by_udf(
         0.5 * (v[f[:, 2]] + v[f[:, 0]]),
     ]
     pts = np.concatenate(corners + mids, axis=0).astype(np.float32)
-    u = eval_in_chunks(udf_fn, pts, chunk).reshape(6, -1)
-    keep = (u <= threshold).all(axis=0)
+    below_fn = getattr(udf_fn, "below_fn", None)
+    if below_fn is not None:
+        ok = eval_in_chunks(lambda p: below_fn(p, threshold), pts, chunk).reshape(6, -1)
+        keep = ok.all(axis=0)
+    else:
+        u = eval_in_chunks(udf_fn, pts, chunk).reshape(6, -1)
+        keep = (u <= threshold).all(axis=0)
     return Mesh(v, f[keep])
 
 
@@ -104,6 +124,12 @@ def get_mesh_from_udf(
     return_stats: bool = False,
 ):
     """UDF function → cleaned mesh (reference meshudf.py:307-514)."""
+    import time
+
+    from ..geometry import remove_unreferenced_vertices
+
+    times = {}
+    t0 = time.perf_counter()
     gf = GridFiller(
         cfg.resolution,
         cfg.coords_range,
@@ -111,17 +137,26 @@ def get_mesh_from_udf(
         max_dist=cfg.max_dist,
     )
     grid, stats = gf.fill(udf_fn, return_stats=True)
-    if grad_fn is None:
-        grad_fn = make_grad_fn(udf_fn)
-    grads = gf.fill_gradients(grad_fn, grid)
+    times["grid_fill"] = time.perf_counter() - t0
 
-    mesh = marching_tetrahedra_udf(
-        grid.astype(np.float64), grads.astype(np.float64), cfg.coords_range
-    )
+    t0 = time.perf_counter()
+    if grad_fn is None:
+        grad_fn = getattr(udf_fn, "grad_fn", None) or make_grad_fn(udf_fn)
+    grads = gf.fill_gradients(grad_fn, grid)
+    times["gradients"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    mesh = marching_tetrahedra_udf(grid, grads, cfg.coords_range)
+    times["marching"] = time.perf_counter() - t0
     stats["raw_faces"] = len(mesh.faces)
 
+    t0 = time.perf_counter()
     if cfg.filter_faces and len(mesh.faces):
-        mesh = filter_faces_by_udf(mesh, udf_fn, 1.0 / cfg.resolution)
+        mesh = filter_faces_by_udf(mesh, udf_fn, 1.0 / cfg.resolution, chunk=cfg.max_batch)
+        mesh = remove_unreferenced_vertices(mesh)
+    times["face_filter"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     if cfg.do_stabilize:
         mesh = stabilize(mesh)
     if cfg.do_smooth_borders:
@@ -131,9 +166,11 @@ def get_mesh_from_udf(
     if cfg.min_component_faces:
         mesh = filter_small_components(mesh, cfg.min_component_faces)
     mesh = merge_duplicate_vertices(mesh)
+    times["cleanup"] = time.perf_counter() - t0
 
     if return_stats:
         stats["final_faces"] = len(mesh.faces)
+        stats["times"] = {k: round(v, 3) for k, v in times.items()}
         return mesh, stats
     return mesh
 

@@ -1,0 +1,205 @@
+"""Data layer + utils tests: preprocessing round trip, curriculum, config,
+logger, checkpointing."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surfd_tpu.data import (
+    CurriculumState,
+    DiffusionDataset,
+    SequenceSamplerComplement,
+    SequenceSamplerTrain,
+    UdfDataset,
+    ae_batch_iterator,
+    batched,
+    compute_udf_from_mesh,
+    diffusion_batch_iterator,
+    mask2bbox,
+    normalize_mesh,
+    prepare_udf_sample,
+    crop_square,
+    random_point_sampling,
+    sample_points_around_pcd,
+    sample_points_on_mesh,
+)
+from surfd_tpu.data.preprocess import PreprocessConfig
+from surfd_tpu.geometry import Mesh, marching_tetrahedra
+from surfd_tpu.utils import Logger, SurfDConfig, apply_overrides, fixseed, load_config, save_config
+
+
+def _sphere_mesh(r=32):
+    xs = np.linspace(-1, 1, r)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    return marching_tetrahedra(np.linalg.norm(g, axis=-1) - 0.6, iso=0.0)
+
+
+def test_sample_points_on_mesh_uniform_on_sphere():
+    mesh = _sphere_mesh()
+    pts = sample_points_on_mesh(mesh, 5000, np.random.default_rng(0))
+    r = np.linalg.norm(pts, axis=1)
+    assert np.abs(r - 0.6).max() < 0.02  # points on the sphere surface
+    assert np.abs(pts.mean(axis=0)).max() < 0.05  # roughly uniform
+
+
+def test_compute_udf_from_mesh_matches_analytic():
+    mesh = _sphere_mesh(48)
+    rng = np.random.default_rng(1)
+    q = rng.uniform(-1, 1, (2000, 3)).astype(np.float32)
+    udf, grad = compute_udf_from_mesh(mesh, q, max_dist=0.1)
+    expected = np.minimum(np.abs(np.linalg.norm(q, axis=1) - 0.6), 0.1)
+    np.testing.assert_allclose(udf, expected, atol=0.01)
+    # gradients are unit and point away from the surface
+    np.testing.assert_allclose(np.linalg.norm(grad, axis=1), 1.0, atol=1e-4)
+    far = udf > 0.02
+    radial = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sign = np.sign(np.linalg.norm(q, axis=1) - 0.6)
+    cos = (grad * radial).sum(1) * sign
+    assert cos[far].mean() > 0.95
+
+
+def test_prepare_udf_sample_and_datasets(tmp_path):
+    mesh = _sphere_mesh()
+    cfg = PreprocessConfig(
+        num_points_pcd=1000, counts=(500, 400, 50), num_uniform=50
+    )
+    payload = prepare_udf_sample(mesh, cfg)
+    assert payload["coords"].shape == (1000, 3)
+    assert payload["labels"].max() <= 0.1 + 1e-6
+    d = tmp_path / "train"
+    d.mkdir()
+    for name in ("a", "b", "c"):
+        np.savez(d / f"{name}.npz", **payload)
+
+    ds = UdfDataset(str(tmp_path), "train")
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["pcd"].shape == (1000, 3)
+
+    it = ae_batch_iterator(
+        ds, lambda: [0, 1, 2], batch_size=2, num_points_pcd=128,
+        num_points_forward=256, rng=np.random.default_rng(0),
+    )
+    batch = next(it)
+    assert batch["pcd"].shape == (2, 128, 3)
+    assert batch["coords"].shape == (2, 256, 3)
+    assert batch["udf"].shape == (2, 256)
+    assert batch["gradients"].shape == (2, 256, 3)
+
+    # diffusion dataset with category conditioning
+    dd = DiffusionDataset(
+        str(tmp_path), "train", cond_mode="category", category_map={"a": 2, "b": 1}
+    )
+    di = diffusion_batch_iterator(dd, batch_size=2, num_points_pcd=64,
+                                  rng=np.random.default_rng(0), shuffle=False)
+    b = next(di)
+    assert b["pcd"].shape == (2, 64, 3)
+    assert b["action"].shape == (2,)
+
+
+def test_normalize_mesh_modes():
+    mesh = Mesh(np.array([[1, 1, 1], [3, 1, 1], [1, 5, 1]], np.float32),
+                np.array([[0, 1, 2]]))
+    c = normalize_mesh(mesh, "box_center")
+    assert np.allclose((c.vertices.max(0) + c.vertices.min(0)) / 2, 0)
+    u = normalize_mesh(mesh, "unit")
+    assert np.abs(u.vertices).max() == pytest.approx(1.0)
+
+
+def test_curriculum_state(tmp_path):
+    st = CurriculumState(10, [0, 1])
+    assert st.complement == list(range(2, 10))
+    st.add_easiest([5, 6, 7], [0.3, 0.1, 0.2], k=2)
+    assert 6 in st.training_idxes and 7 in st.training_idxes and 5 not in st.training_idxes
+    p = str(tmp_path / "idx.txt")
+    st.save(p)
+    st2 = CurriculumState.load(p, 10)
+    assert st2.training_idxes == st.training_idxes
+
+    rng = np.random.default_rng(0)
+    train_sampler = SequenceSamplerTrain(st, rng)
+    assert sorted(train_sampler) == st.training_idxes
+    comp = SequenceSamplerComplement(st)
+    assert list(comp) == st.complement
+    assert list(batched(iter(range(5)), 2)) == [[0, 1], [2, 3], [4]]
+    assert list(batched(iter(range(5)), 2, drop_last=True)) == [[0, 1], [2, 3]]
+
+
+def test_random_point_sampling_with_fixed_inds():
+    pts = np.arange(30, dtype=np.float32).reshape(1, 10, 3)
+    rng = np.random.default_rng(0)
+    inds = np.array([0, 5])
+    out = random_point_sampling(pts, 2, rng, inds=inds)
+    np.testing.assert_array_equal(out[0, 0], pts[0, 0])
+    np.testing.assert_array_equal(out[0, 1], pts[0, 5])
+
+
+def test_mask_and_crop():
+    mask = np.zeros((10, 12), bool)
+    mask[2:5, 3:7] = True
+    assert mask2bbox(mask) == (3, 2, 7, 5)
+    img = np.full((10, 12, 3), 128, np.uint8)
+    crop = crop_square(img, (3, 2, 7, 5))
+    assert crop.shape[0] == crop.shape[1]
+
+
+def test_config_roundtrip_and_overrides(tmp_path):
+    cfg = SurfDConfig()
+    apply_overrides(cfg, ["model.latent_size=64", "diffusion.noise_schedule=linear",
+                          "generate.watertight=true", "model.channel_mult=1,2,4"])
+    assert cfg.model.latent_size == 64
+    assert cfg.generate.watertight is True
+    assert cfg.model.channel_mult == (1, 2, 4)
+    p = str(tmp_path / "cfg.json")
+    save_config(cfg, p)
+    cfg2 = load_config(p)
+    assert cfg2.model.latent_size == 64
+    assert cfg2.model.channel_mult == (1, 2, 4)
+    assert cfg2.diffusion.noise_schedule == "linear"
+
+
+def test_logger_mean_and_sinks(tmp_path, capsys):
+    lg = Logger(str(tmp_path), formats=("stdout", "jsonl", "csv"))
+    lg.logkv_mean("loss", 1.0)
+    lg.logkv_mean("loss", 3.0)
+    lg.logkv("lr", 1e-4)
+    lg.dumpkvs(step=5)
+    out = capsys.readouterr().out
+    assert "loss" in out and "2" in out
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert rows[0]["loss"] == 2.0 and rows[0]["step"] == 5
+    assert (tmp_path / "metrics.csv").exists()
+    lg.close()
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    from surfd_tpu.training import create_train_state, make_optimizer
+    from surfd_tpu.utils.checkpoint import Checkpointer
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    tx = make_optimizer()
+    state = create_train_state(params, tx)
+    ck = Checkpointer(str(tmp_path / "ck"))
+    ck.save(0, state)
+    state2 = state.replace(step=state.step + 10,
+                           params={"w": jnp.full((4, 4), 2.0), "b": jnp.ones((4,))})
+    ck.save(10, state2)
+    ck.wait()
+    assert ck.latest_step() == 10
+    restored = ck.restore(jax.tree.map(np.zeros_like, state2))
+    assert int(restored.step) == 10
+    np.testing.assert_allclose(restored.params["w"], 2.0)
+    ck.close()
+
+
+def test_fixseed_deterministic():
+    k1 = fixseed(7)
+    a = np.random.rand(3)
+    k2 = fixseed(7)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
