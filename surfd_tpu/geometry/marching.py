@@ -91,9 +91,14 @@ class Mesh(NamedTuple):
 
 
 def _cube_corner_gids(cube_xyz: np.ndarray, R: int) -> np.ndarray:
-    """Global vertex ids of the 8 corners of each cube. cube_xyz: (M, 3)."""
-    corners = cube_xyz[:, None, :] + _CORNER_OFFSETS[None, :, :]  # (M, 8, 3)
-    return (corners[..., 0] * R + corners[..., 1]) * R + corners[..., 2]
+    """Global vertex ids of the 8 corners of each cube. cube_xyz: (M, 3).
+
+    Flat-id arithmetic (base + precomputed scalar offsets) — avoids an
+    (M, 8, 3) intermediate that dominates at 512³.
+    """
+    base = (cube_xyz[:, 0].astype(np.int64) * R + cube_xyz[:, 1]) * R + cube_xyz[:, 2]
+    offs = (_CORNER_OFFSETS[:, 0] * R + _CORNER_OFFSETS[:, 1]) * R + _CORNER_OFFSETS[:, 2]
+    return base[:, None] + offs[None, :]
 
 
 def _gid_positions(gids: np.ndarray, R: int, lo: float, spacing: float) -> np.ndarray:
@@ -120,13 +125,9 @@ def _collect_tri_edges(corner_vals: np.ndarray, corner_gids: np.ndarray) -> np.n
             valid = e[:, 0] >= 0
             if not valid.any():
                 continue
-            e = e[valid]
             cube_sel = np.nonzero(valid)[0]
-            pairs = _TET_EDGES[e]  # (K, 3, 2) tet-local corner pairs
-            local = tet[pairs]  # cube-local corner ids
-            gids = np.take_along_axis(
-                corner_gids[cube_sel][:, None, :].repeat(3, axis=1), local, axis=2
-            )
+            local = tet[_TET_EDGES[e[cube_sel]]]  # (K, 3, 2) cube-local corners
+            gids = corner_gids[cube_sel[:, None, None], local]  # direct gather
             tri_edge_gids.append(gids)
 
     if not tri_edge_gids:
@@ -267,7 +268,7 @@ def _gathered_central_diff(flat_vals: np.ndarray, vid: np.ndarray, R: int) -> np
 
 def marching_tetrahedra_udf(
     udf: np.ndarray,
-    gradients: np.ndarray,
+    gradients,
     coords_range: tuple[float, float] = (-1.0, 1.0),
     near_mult: float = 1.74,
     avg_mult: float = 1.05,
@@ -276,7 +277,10 @@ def marching_tetrahedra_udf(
 
     Replaces `marching_cubes_udf` (/root/reference/meshudf/
     _marching_cubes_lewiner_cy.pyx:1115-1773). udf: (R,R,R) ≥ 0;
-    gradients: (R,R,R,3) — ∂udf/∂xyz (need not be normalized).
+    gradients: EITHER a dense (R,R,R,3) ∂udf/∂xyz array OR a callable
+    `grad_at(points_f32 (K,3)) -> (K,3)` evaluated lazily at exactly the grid
+    nodes the extraction touches (the TPU-friendly path: no dense gradient
+    grid is ever built or transferred).
 
     Gates (parity with the reference): a cube participates only if
     max corner udf ≤ near_mult·voxel and mean corner udf < avg_mult·voxel
@@ -285,7 +289,7 @@ def marching_tetrahedra_udf(
     for the crossing decision (_cy.pyx:1776-1806).
     """
     R = udf.shape[0]
-    assert udf.shape == (R, R, R) and gradients.shape == (R, R, R, 3)
+    assert udf.shape == (R, R, R)
     lo, hi = coords_range
     voxel = (hi - lo) / (R - 1)
 
@@ -293,7 +297,13 @@ def marching_tetrahedra_udf(
     # fp64 would double the memory-bound sweep cost for no accuracy benefit.
     u = np.ascontiguousarray(udf, dtype=np.float32)
     flat_u = u.reshape(-1)
-    flat_g = np.ascontiguousarray(gradients, dtype=np.float32).reshape(-1, 3)
+
+    if callable(gradients):
+        grad_lookup = _LazyGradLookup(gradients, R, lo, voxel)
+    else:
+        assert gradients.shape == (R, R, R, 3)
+        flat_g = np.ascontiguousarray(gradients, dtype=np.float32).reshape(-1, 3)
+        grad_lookup = lambda gids: flat_g[gids]
 
     # --- candidate cubes: gather-driven, ONE full-grid pass total ---
     # A cube participates only if all 8 corner UDFs are near; its min corner
@@ -312,13 +322,16 @@ def marching_tetrahedra_udf(
     gids = gids_c[ok]  # (M, 8) corner gids of active cubes
     u8 = u8[ok]
 
+    # Resolve gradients once for every distinct corner node of active cubes.
+    uniq_gids, inv8 = np.unique(gids, return_inverse=True)
+    g8 = grad_lookup(uniq_gids)[inv8].reshape(gids.shape + (3,))  # (M, 8, 3)
+
     # --- corner pseudo-signs by crossing parity along the canonical path ---
     # path (0,0,0) → (dx,0,0) → (dx,dy,0) → (dx,dy,dz); an edge crosses the
     # surface iff its endpoint gradients oppose (both endpoints are near by
     # the cube gate). 7 distinct path edges per cube, computed by gathers.
     def edge_cross(ca: int, cb: int) -> np.ndarray:
-        ga, gb = gids[:, ca], gids[:, cb]
-        return (flat_g[ga] * flat_g[gb]).sum(axis=-1) < 0.0
+        return (g8[:, ca] * g8[:, cb]).sum(axis=-1) < 0.0
 
     cx = edge_cross(0, 1)  # (0,0,0)-(1,0,0)
     cy = (edge_cross(0, 2), edge_cross(1, 3))  # y-edge at dx = 0, 1
@@ -351,8 +364,23 @@ def marching_tetrahedra_udf(
     if len(mesh.faces):
         vid = np.clip(np.round((mesh.vertices - lo) / voxel).astype(np.int64), 0, R - 1)
         vgid = (vid[:, 0] * R + vid[:, 1]) * R + vid[:, 2]
-        mesh = _orient_faces_by_gradient(mesh, flat_g[vgid])
+        uq, vinv = np.unique(vgid, return_inverse=True)
+        mesh = _orient_faces_by_gradient(mesh, grad_lookup(uq)[vinv])
     return mesh
+
+
+class _LazyGradLookup:
+    """gid → gradient via the decoder's grad_fn, evaluated on demand."""
+
+    def __init__(self, grad_at, R: int, lo: float, voxel: float):
+        self.grad_at = grad_at
+        self.R = R
+        self.lo = lo
+        self.voxel = voxel
+
+    def __call__(self, gids: np.ndarray) -> np.ndarray:
+        pts = _gid_positions(np.asarray(gids, np.int64), self.R, self.lo, self.voxel)
+        return np.asarray(self.grad_at(pts), np.float32)
 
 
 def _emit_triangles_udf(corner_vals, corner_gids, R, lo, spacing, flat_u):

@@ -146,25 +146,31 @@ def boundary_vertices(mesh: Mesh) -> np.ndarray:
     return np.unique(edges[counts == 1])
 
 
-def _uniform_laplacian_step(verts, faces, lam, only: np.ndarray | None = None):
-    """One step v ← v + λ·(mean(neighbors) − v), via segment sums."""
+def _neighbor_mean(verts: np.ndarray, e: np.ndarray):
+    """Mean neighbor position per vertex over directed edges e (E, 2).
+
+    np.bincount with weights runs at memcpy speed, unlike np.add.at.
+    """
+    n = len(verts)
+    cnt = np.bincount(e[:, 0], minlength=n).astype(np.float64)
+    acc = np.stack(
+        [np.bincount(e[:, 0], weights=verts[e[:, 1], k], minlength=n) for k in range(3)],
+        axis=1,
+    )
+    has = cnt > 0
+    mean = np.where(has[:, None], acc / np.maximum(cnt, 1)[:, None], verts)
+    return mean, has
+
+
+def _uniform_laplacian_step(verts, faces, lam):
+    """One step v ← v + λ·(mean(neighbors) − v)."""
     e = np.concatenate(
         [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]],
          faces[:, [1, 0]], faces[:, [2, 1]], faces[:, [0, 2]]],
         axis=0,
     )
-    acc = np.zeros_like(verts, dtype=np.float64)
-    cnt = np.zeros(len(verts), dtype=np.float64)
-    np.add.at(acc, e[:, 0], verts[e[:, 1]])
-    np.add.at(cnt, e[:, 0], 1.0)
-    mask = cnt > 0
-    mean = np.where(mask[:, None], acc / np.maximum(cnt, 1)[:, None], verts)
-    new = verts + lam * (mean - verts)
-    if only is not None:
-        out = verts.copy()
-        out[only] = new[only]
-        return out
-    return new
+    mean, _ = _neighbor_mean(verts, e)
+    return verts + lam * (mean - verts)
 
 
 def laplacian_smooth(mesh: Mesh, iterations: int = 3, lam: float = 0.5) -> Mesh:
@@ -194,12 +200,7 @@ def smooth_borders(mesh: Mesh, iterations: int = 20, lam: float = 0.3) -> Mesh:
     v = mesh.vertices.astype(np.float64)
     both = np.concatenate([be, be[:, ::-1]], axis=0)
     for _ in range(iterations):
-        acc = np.zeros_like(v)
-        cnt = np.zeros(len(v))
-        np.add.at(acc, both[:, 0], v[both[:, 1]])
-        np.add.at(cnt, both[:, 0], 1.0)
-        upd = cnt > 0
-        mean = np.where(upd[:, None], acc / np.maximum(cnt, 1)[:, None], v)
+        mean, _ = _neighbor_mean(v, both)
         v[is_border] = v[is_border] + lam * (mean[is_border] - v[is_border])
     return Mesh(v.astype(np.float32), mesh.faces)
 
@@ -209,34 +210,43 @@ def fill_triangle_holes(mesh: Mesh) -> Mesh:
     sufficient for the stabilize loop at meshudf.py:381-402)."""
     if len(mesh.faces) == 0:
         return mesh
-    edges, counts = _unique_edges_with_counts(mesh.faces, len(mesh.vertices))
+    NV = len(mesh.vertices)
+    edges, counts = _unique_edges_with_counts(mesh.faces, NV)
     be = edges[counts == 1]
     if len(be) == 0:
         return mesh
-    # adjacency among border edges; find triangles a-b, b-c, a-c
-    from collections import defaultdict
-
-    adj = defaultdict(set)
-    for a, b in be:
-        adj[a].add(b)
-        adj[b].add(a)
-    edge_set = {(int(a), int(b)) for a, b in be}
-    new_faces = []
-    seen = set()
-    for a, b in be:
-        commons = adj[int(a)] & adj[int(b)]
-        for c in commons:
-            tri = tuple(sorted((int(a), int(b), int(c))))
-            if tri in seen:
-                continue
-            if (tri[0], tri[1]) in edge_set and (tri[1], tri[2]) in edge_set and (
-                tri[0], tri[2]
-            ) in edge_set:
-                seen.add(tri)
-                new_faces.append(tri)
-    if not new_faces:
+    # Vectorized 3-cycle search over border edges: candidate triangles are
+    # length-2 border paths a<b<c whose closing edge (a, c) is also border.
+    # Sort border edges (a < b already); for each edge (a, b), border
+    # neighbors of b with id > b close a candidate (a, b, c).
+    order = np.argsort(be[:, 0], kind="stable")
+    by_lo = be[order]  # grouped by smaller endpoint
+    starts = np.searchsorted(by_lo[:, 0], np.arange(NV))
+    ends = np.searchsorted(by_lo[:, 0], np.arange(NV) + 1)
+    # For every edge (a, b): continuation edges are (b, c) with c > b.
+    n_cont = ends[be[:, 1]] - starts[be[:, 1]]
+    if n_cont.max(initial=0) == 0:
         return mesh
-    return Mesh(mesh.vertices, np.concatenate([mesh.faces, np.array(new_faces)], axis=0))
+    rep = np.repeat(np.arange(len(be)), n_cont)
+    # per-continuation offset within its group, fully vectorized
+    cum = np.cumsum(n_cont) - n_cont
+    offs = np.arange(int(n_cont.sum())) - np.repeat(cum, n_cont)
+    cont_idx = starts[be[rep, 1]] + offs
+    a = be[rep, 0]
+    b = be[rep, 1]
+    c = by_lo[cont_idx, 1]
+    # closing edge (a, c) must be a border edge: look up via packed keys
+    key_be = be[:, 0] * (NV + 1) + be[:, 1]
+    key_be_sorted = np.sort(key_be)
+    close = a * (NV + 1) + c
+    pos = np.searchsorted(key_be_sorted, close)
+    pos = np.clip(pos, 0, len(key_be_sorted) - 1)
+    ok = key_be_sorted[pos] == close
+    if not ok.any():
+        return mesh
+    new_faces = np.stack([a[ok], b[ok], c[ok]], axis=1)
+    # dedup (each triangle found once per (a,b) edge — a<b<c makes it unique)
+    return Mesh(mesh.vertices, np.concatenate([mesh.faces, new_faces], axis=0))
 
 
 def stabilize(mesh: Mesh, max_rounds: int = 5) -> Mesh:

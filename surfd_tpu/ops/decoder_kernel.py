@@ -1,0 +1,240 @@
+"""Fused UDF-decoder grid evaluation (folded MLP + Pallas TPU kernel).
+
+The hot inference op (SURVEY.md §6: up to 1.34e8 decoder evaluations per 512³
+extraction; reference loop at /root/reference/meshudf/meshudf.py:123-206 with
+the CBN decoder /root/reference/AutoEncoder/models/cbndec.py:106-134).
+
+Key observation: at inference every ConditionalBatchNorm is an affine with
+constants — running BN stats plus the latent-conditioned γ/β — so for a FIXED
+latent the whole decoder folds into:
+
+    x₀ = posenc(p) @ W_in + b_in
+    for each block: x ← x + W₂ᵀ·relu(a₂⊙(W₁ᵀ·relu(a₁⊙x + c₁) + b₁) + c₂)
+    udf = (1 − σ(w_outᵀ·relu(a_out⊙x + c_out) + b_out)) · max_dist
+
+`fold_decoder` precomputes the affine vectors once per latent; the Pallas
+kernel then streams point tiles from HBM while all weights (≈2.9 M params)
+stay resident in VMEM across the whole grid — one kernel, no intermediate
+HBM round trips. Matmuls run on the MXU in bf16 with f32 accumulation
+(`preferred_element_type`); the positional encoding is computed in f32 (sin
+at frequency 2⁹ needs full input precision).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class FoldedDecoder(NamedTuple):
+    """Inference-folded decoder weights for one latent (pytree)."""
+
+    w_in: jnp.ndarray  # (63, H)
+    b_in: jnp.ndarray  # (H,)
+    # per block, stacked on axis 0: (L, H) affines and (L, H, H) weights
+    a1: jnp.ndarray
+    c1: jnp.ndarray
+    w1: jnp.ndarray
+    b1: jnp.ndarray
+    a2: jnp.ndarray
+    c2: jnp.ndarray
+    w2: jnp.ndarray
+    b2: jnp.ndarray
+    a_out: jnp.ndarray  # (H,)
+    c_out: jnp.ndarray  # (H,)
+    w_out: jnp.ndarray  # (H, 1)
+    b_out: jnp.ndarray  # (1,)
+    max_dist: float
+
+
+def _fold_cbn(cbn_params, cbn_stats, latent, eps=1e-5):
+    """ConditionalBatchNorm → (a, c) with y = a⊙x + c (cbndec.py:68-82)."""
+    gamma = latent @ cbn_params["gamma"]["kernel"] + cbn_params["gamma"]["bias"]
+    beta = latent @ cbn_params["beta"]["kernel"] + cbn_params["beta"]["bias"]
+    mean = cbn_stats["bn"]["mean"]
+    var = cbn_stats["bn"]["var"]
+    inv = gamma / jnp.sqrt(var + eps)
+    return inv, beta - mean * inv
+
+
+def fold_decoder(decoder_vars, latent: jnp.ndarray, max_dist: float = 0.1) -> FoldedDecoder:
+    """Fold CbnDecoder variables + one latent (D,) into a plain MLP."""
+    p = decoder_vars["params"]
+    s = decoder_vars["batch_stats"]
+    lat = latent.reshape(1, -1)
+
+    blocks = sorted(k for k in p if k.startswith("block_"))
+    a1, c1, w1, b1, a2, c2, w2, b2 = [], [], [], [], [], [], [], []
+    for k in blocks:
+        A1, C1 = _fold_cbn(p[k]["bn_0"], s[k]["bn_0"], lat)
+        A2, C2 = _fold_cbn(p[k]["bn_1"], s[k]["bn_1"], lat)
+        a1.append(A1[0]); c1.append(C1[0])
+        a2.append(A2[0]); c2.append(C2[0])
+        w1.append(p[k]["fc_0"]["kernel"]); b1.append(p[k]["fc_0"]["bias"])
+        w2.append(p[k]["fc_1"]["kernel"]); b2.append(p[k]["fc_1"]["bias"])
+    AO, CO = _fold_cbn(p["bn_out"], s["bn_out"], lat)
+    return FoldedDecoder(
+        w_in=p["fc_p"]["kernel"],
+        b_in=p["fc_p"]["bias"],
+        a1=jnp.stack(a1), c1=jnp.stack(c1),
+        w1=jnp.stack(w1), b1=jnp.stack(b1),
+        a2=jnp.stack(a2), c2=jnp.stack(c2),
+        w2=jnp.stack(w2), b2=jnp.stack(b2),
+        a_out=AO[0], c_out=CO[0],
+        w_out=p["fc_out"]["kernel"], b_out=p["fc_out"]["bias"],
+        max_dist=max_dist,
+    )
+
+
+def posenc_f32(pts: jnp.ndarray, num_freqs: int = 10, max_freq_log2: int = 9):
+    """NeRF positional encoding, [x, sin(f·x), cos(f·x), ...] order
+    (decoder.py CoordsEncoder parity)."""
+    freqs = 2.0 ** jnp.linspace(0.0, max_freq_log2, num_freqs)
+    parts = [pts]
+    for i in range(num_freqs):
+        parts.append(jnp.sin(pts * freqs[i]))
+        parts.append(jnp.cos(pts * freqs[i]))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def folded_udf(folded: FoldedDecoder, pts: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Plain-XLA folded evaluation (the baseline the kernel must beat)."""
+    L = folded.w1.shape[0]
+    x = posenc_f32(pts).astype(dtype) @ folded.w_in.astype(dtype) + folded.b_in.astype(dtype)
+    for i in range(L):
+        h = jax.nn.relu(x * folded.a1[i].astype(dtype) + folded.c1[i].astype(dtype))
+        h = h @ folded.w1[i].astype(dtype) + folded.b1[i].astype(dtype)
+        h = jax.nn.relu(h * folded.a2[i].astype(dtype) + folded.c2[i].astype(dtype))
+        x = x + (h @ folded.w2[i].astype(dtype) + folded.b2[i].astype(dtype))
+    h = jax.nn.relu(x * folded.a_out.astype(dtype) + folded.c_out.astype(dtype))
+    logit = (h.astype(jnp.float32) @ folded.w_out + folded.b_out)[..., 0]
+    return (1.0 - jax.nn.sigmoid(logit)) * folded.max_dist
+
+
+def _decoder_kernel(
+    pts_ref,      # (T, 3) f32 point tile
+    win_ref,      # (63, H)
+    bin_ref,      # (1, H)
+    a1_ref, c1_ref, w1_ref, b1_ref,   # (L, H) / (L, H, H)
+    a2_ref, c2_ref, w2_ref, b2_ref,
+    aout_ref, cout_ref,               # (1, H)
+    wout_ref,                         # (H, 1) padded to (H, 128)
+    bout_ref,                         # (1, 1) SMEM
+    maxdist_ref,                      # (1, 1) SMEM
+    out_ref,      # (T,) f32
+):
+    L = a1_ref.shape[0]
+    pts = pts_ref[:]  # (T, 3) f32
+
+    # posenc in f32 on the VPU, then cast for the MXU chain
+    emb = posenc_f32(pts)  # (T, 63)
+    x = (
+        jnp.dot(emb.astype(jnp.bfloat16), win_ref[:], preferred_element_type=jnp.float32)
+        + bin_ref[:]
+    )
+
+    def block(i, x):
+        h = jnp.maximum(x * a1_ref[i] + c1_ref[i], 0.0)
+        h = jnp.dot(h.astype(jnp.bfloat16), w1_ref[i], preferred_element_type=jnp.float32) + b1_ref[i]
+        h = jnp.maximum(h * a2_ref[i] + c2_ref[i], 0.0)
+        dx = jnp.dot(h.astype(jnp.bfloat16), w2_ref[i], preferred_element_type=jnp.float32) + b2_ref[i]
+        return x + dx
+
+    x = jax.lax.fori_loop(0, L, block, x)
+    h = jnp.maximum(x * aout_ref[:] + cout_ref[:], 0.0)
+    logit = jnp.dot(h.astype(jnp.bfloat16), wout_ref[:], preferred_element_type=jnp.float32)
+    logit = logit[:, 0] + bout_ref[0, 0]
+    out_ref[:] = (1.0 - jax.nn.sigmoid(logit)) * maxdist_ref[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def pallas_folded_udf(folded: FoldedDecoder, pts: jnp.ndarray, tile: int = 1024):
+    """Pallas evaluation: weights pinned in VMEM, point tiles streamed.
+
+    pts: (P, 3) with P a multiple of `tile`. Weights are bf16 (≈5.8 MB in
+    VMEM for the 512×5 configuration), activations f32 accumulations.
+    """
+    P = pts.shape[0]
+    assert P % tile == 0, f"P={P} must be a multiple of tile={tile}"
+    H = folded.w_in.shape[1]
+    L = folded.w1.shape[0]
+    bf = lambda a: a.astype(jnp.bfloat16)
+    f32row = lambda a: a.astype(jnp.float32).reshape(1, H)
+
+    # Pad w_out's singleton output to the 128-lane minimum.
+    wout = jnp.zeros((H, 128), jnp.bfloat16).at[:, 0].set(bf(folded.w_out[:, 0]))
+
+    grid = (P // tile,)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _decoder_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const((63, H)),
+            const((1, H)),
+            const((L, H)), const((L, H)), const((L, H, H)), const((L, H)),
+            const((L, H)), const((L, H)), const((L, H, H)), const((L, H)),
+            const((1, H)), const((1, H)),
+            const((H, 128)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P,), jnp.float32),
+    )(
+        pts.astype(jnp.float32),
+        bf(folded.w_in),
+        f32row(folded.b_in),
+        folded.a1.astype(jnp.float32), folded.c1.astype(jnp.float32),
+        bf(folded.w1), folded.b1.astype(jnp.float32),
+        folded.a2.astype(jnp.float32), folded.c2.astype(jnp.float32),
+        bf(folded.w2), folded.b2.astype(jnp.float32),
+        f32row(folded.a_out), f32row(folded.c_out),
+        wout,
+        jnp.asarray(folded.b_out, jnp.float32).reshape(1, 1),
+        jnp.asarray([[folded.max_dist]], jnp.float32),
+    )
+    return out
+
+
+def make_fused_udf_fn(decoder_vars, latent, max_dist: float = 0.1, tile: int = 1024, use_pallas: bool = True):
+    """Drop-in udf_fn closure built on the folded decoder.
+
+    Same contract as pipelines.make_udf_fn (udf_fn + .grad_fn + .below_fn)
+    so get_mesh_from_udf can consume it directly.
+    """
+    folded = fold_decoder(decoder_vars, jnp.asarray(latent), max_dist)
+
+    if use_pallas:
+        base = lambda pts: pallas_folded_udf(folded, pts, tile=tile)
+    else:
+        base = jax.jit(lambda pts: folded_udf(folded, pts))
+
+    # Gradient via the XLA folded path (f32 weights for accuracy; the sign of
+    # ∂udf is what marching consumes).
+    @jax.jit
+    def grad_fn(pts):
+        f = lambda p: folded_udf(folded, p, dtype=jnp.float32)
+        _, vjp = jax.vjp(f, pts)
+        (g,) = vjp(jnp.ones(pts.shape[:-1], pts.dtype))
+        return g
+
+    @jax.jit
+    def below_fn_impl(pts, thr):
+        return (pallas_folded_udf(folded, pts, tile=tile) <= thr).astype(jnp.uint8) if use_pallas else (
+            folded_udf(folded, pts) <= thr
+        ).astype(jnp.uint8)
+
+    udf_fn = lambda pts: base(pts)
+    udf_fn.grad_fn = grad_fn
+    udf_fn.below_fn = lambda pts, thr: below_fn_impl(pts, jnp.float32(thr))
+    udf_fn.folded = folded
+    return udf_fn

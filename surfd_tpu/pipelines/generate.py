@@ -12,6 +12,7 @@ Split of labor:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -49,30 +50,90 @@ def make_udf_fn(
     sigmoid → 1−p → ×max_dist. The latent is an explicit jit argument (large
     closures would be embedded as HLO constants).
     """
-    from ..geometry import make_grad_fn
+    del coords_encoder  # the standard NeRF encoding is part of the cached fns
+    # Params/latent are explicit jit ARGUMENTS (closed-over arrays would be
+    # embedded as HLO constants — minutes of remote compile per latent), and
+    # the traced callables are cached PER DECODER so binding a new latent
+    # reuses the same compiled executables (`.stable` protocol consumed by
+    # geometry.eval_in_chunks).
+    dvars = jax.tree.map(jnp.asarray, decoder_vars)
+    lat = jnp.asarray(latent)
+    udf_base, below_base, grad_base, jits, udf_u16_base, grad_i8_base = _decoder_eval_fns(
+        decoder, float(max_dist)
+    )
+    jit_udf, jit_below, jit_grad = jits
 
-    enc = coords_encoder or CoordsEncoder()
+    args = (dvars, lat)
+    udf_fn = lambda pts: jit_udf(args, pts)
+    udf_fn.stable = (udf_base, args)
+    udf_fn.max_dist = float(max_dist)
 
-    @jax.jit
-    def udf_fn_param(lat, pts):
+    grad_fn = lambda pts: jit_grad(args, pts)
+    grad_fn.stable = (grad_base, args)
+    udf_fn.grad_fn = grad_fn
+
+    u16_fn = lambda pts: udf_u16_base(args, pts)
+    u16_fn.stable = (udf_u16_base, args)
+    udf_fn.u16_fn = u16_fn
+
+    gi8_fn = lambda pts: grad_i8_base(args, pts)
+    gi8_fn.stable = (grad_i8_base, args)
+    udf_fn.grad_i8_fn = gi8_fn
+
+    def below_fn(pts, thr):
+        bargs = (dvars, lat, jnp.float32(thr))
+        f = lambda p: jit_below(bargs, p)
+        f.stable = (below_base, bargs)
+        return f(pts)
+
+    # expose a pre-bindable form so eval_in_chunks can use the stable cache
+    def below_bound(thr):
+        bargs = (dvars, lat, jnp.float32(thr))
+        f = lambda p: jit_below(bargs, p)
+        f.stable = (below_base, bargs)
+        return f
+
+    udf_fn.below_fn = below_fn
+    udf_fn.below_bound = below_bound
+    return udf_fn
+
+
+@functools.lru_cache(maxsize=8)
+def _decoder_eval_fns(decoder: CbnDecoder, max_dist: float):
+    """Per-decoder traced callables: (udf, below, grad) in stable-args form.
+
+    Quantized variants exist because the tunnel's d2h path runs at
+    ~15-30 MB/s: uint16 UDF (step max_dist/65535 ≈ 1.5e-6 — far below any
+    interpolation need) and int8 unit-gradient directions (marching consumes
+    only dot-product signs and orientation)."""
+    enc = CoordsEncoder()
+
+    def udf_base(args, pts):
+        variables, lat = args
         emb = enc.encode(pts[None])  # (1, P, 63)
-        logits = decoder.apply(decoder_vars, emb, lat[None])
+        logits = decoder.apply(variables, emb, lat[None])
         return udf_from_logits(logits[0], max_dist)
 
-    udf_fn = lambda pts: udf_fn_param(latent, pts)
-    # Attach the matching gradient fn so repeated get_mesh_from_udf calls
-    # reuse ONE jitted executable instead of re-deriving (and re-compiling)
-    # the VJP every time.
-    udf_fn.grad_fn = make_grad_fn(udf_fn)
+    def udf_u16_base(args, pts):
+        u = udf_base(args, pts)
+        return jnp.round(u * (65535.0 / max_dist)).astype(jnp.uint16)
 
-    # Thresholded variant for the face filter: comparing on device and
-    # shipping uint8 instead of float32 quarters the d2h bytes.
-    @jax.jit
-    def udf_below(lat, pts, thr):
-        return (udf_fn_param(lat, pts) <= thr).astype(jnp.uint8)
+    def below_base(args, pts):
+        variables, lat, thr = args
+        return (udf_base((variables, lat), pts) <= thr).astype(jnp.uint8)
 
-    udf_fn.below_fn = lambda pts, thr: udf_below(latent, pts, jnp.float32(thr))
-    return udf_fn
+    def grad_base(args, pts):
+        _, vjp_fn = jax.vjp(lambda p: udf_base(args, p), pts)
+        (g,) = vjp_fn(jnp.ones(pts.shape[:-1], pts.dtype))
+        return g
+
+    def grad_i8_base(args, pts):
+        g = grad_base(args, pts)
+        n = jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+        return jnp.round(g / n * 127.0).astype(jnp.int8)
+
+    jits = (jax.jit(udf_base), jax.jit(below_base), jax.jit(grad_base))
+    return udf_base, below_base, grad_base, jits, udf_u16_base, grad_i8_base
 
 
 def filter_faces_by_udf(
@@ -86,20 +147,29 @@ def filter_faces_by_udf(
     if len(mesh.faces) == 0:
         return mesh
     v, f = mesh.vertices, mesh.faces
-    corners = [v[f[:, i]] for i in range(3)]
-    mids = [
-        0.5 * (v[f[:, 0]] + v[f[:, 1]]),
-        0.5 * (v[f[:, 1]] + v[f[:, 2]]),
-        0.5 * (v[f[:, 2]] + v[f[:, 0]]),
-    ]
-    pts = np.concatenate(corners + mids, axis=0).astype(np.float32)
+    # Query each unique vertex and unique edge midpoint ONCE (shared edges/
+    # vertices would otherwise be re-decoded up to 6×).
+    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+    e = np.sort(e, axis=1)
+    NV = len(v) + 1
+    keys = e[:, 0] * NV + e[:, 1]
+    uniq, inv = np.unique(keys, return_inverse=True)
+    ea = (uniq // NV).astype(np.int64)
+    eb = (uniq % NV).astype(np.int64)
+    mids = 0.5 * (v[ea] + v[eb])
+    pts = np.concatenate([v, mids], axis=0).astype(np.float32)
+
+    below_bound = getattr(udf_fn, "below_bound", None)
     below_fn = getattr(udf_fn, "below_fn", None)
-    if below_fn is not None:
-        ok = eval_in_chunks(lambda p: below_fn(p, threshold), pts, chunk).reshape(6, -1)
-        keep = ok.all(axis=0)
+    if below_bound is not None:
+        ok = eval_in_chunks(below_bound(threshold), pts, chunk).astype(bool)
+    elif below_fn is not None:
+        ok = eval_in_chunks(lambda p: below_fn(p, threshold), pts, chunk).astype(bool)
     else:
-        u = eval_in_chunks(udf_fn, pts, chunk).reshape(6, -1)
-        keep = (u <= threshold).all(axis=0)
+        ok = eval_in_chunks(udf_fn, pts, chunk) <= threshold
+    vert_ok = ok[: len(v)]
+    mid_ok = ok[len(v):][inv].reshape(3, -1)
+    keep = vert_ok[f].all(axis=1) & mid_ok.all(axis=0)
     return Mesh(v, f[keep])
 
 
@@ -108,8 +178,12 @@ class MeshExtractionConfig:
     resolution: int = 512
     coords_range: tuple = (-1.0, 1.0)
     max_dist: float = 0.1
-    max_batch: int = 2**17
+    max_batch: int = 2**19
     filter_faces: bool = True
+    # threshold = face_filter_mult / resolution (reference th_dist = 1/N,
+    # meshudf.py:371; raise the mult for weakly-fitted decoders whose UDF
+    # floor sits above a voxel)
+    face_filter_mult: float = 1.0
     do_stabilize: bool = True
     do_smooth_borders: bool = True
     # post cleanup (pymeshlab-equivalent, generate_uncond.py:117-122)
@@ -141,18 +215,23 @@ def get_mesh_from_udf(
 
     t0 = time.perf_counter()
     if grad_fn is None:
-        grad_fn = getattr(udf_fn, "grad_fn", None) or make_grad_fn(udf_fn)
-    grads = gf.fill_gradients(grad_fn, grid)
-    times["gradients"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    mesh = marching_tetrahedra_udf(grid, grads, cfg.coords_range)
+        grad_fn = (
+            getattr(udf_fn, "grad_i8_fn", None)  # int8 unit directions: 12× less d2h
+            or getattr(udf_fn, "grad_fn", None)
+            or make_grad_fn(udf_fn)
+        )
+    # Gradients are evaluated lazily at exactly the grid nodes marching
+    # touches — no dense (R³, 3) gradient grid is built or transferred.
+    grad_at = lambda pts: eval_in_chunks(grad_fn, pts, cfg.max_batch)
+    mesh = marching_tetrahedra_udf(grid, grad_at, cfg.coords_range)
     times["marching"] = time.perf_counter() - t0
     stats["raw_faces"] = len(mesh.faces)
 
     t0 = time.perf_counter()
     if cfg.filter_faces and len(mesh.faces):
-        mesh = filter_faces_by_udf(mesh, udf_fn, 1.0 / cfg.resolution, chunk=cfg.max_batch)
+        mesh = filter_faces_by_udf(
+            mesh, udf_fn, cfg.face_filter_mult / cfg.resolution, chunk=cfg.max_batch
+        )
         mesh = remove_unreferenced_vertices(mesh)
     times["face_filter"] = time.perf_counter() - t0
 
