@@ -9,3 +9,12 @@ from .decoder import (
     CoordsEncoder,
     udf_from_logits,
 )
+from .attention import (
+    BasicTransformerBlock,
+    CrossAttention,
+    FeedForward,
+    GEGLU,
+    LinearAttention,
+    SpatialTransformer1D,
+)
+from .grid_ae import GridAutoencoder

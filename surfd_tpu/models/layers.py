@@ -35,7 +35,12 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
-        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, dtype=jnp.float32)(
+        # reference always uses 32 groups (channels ≥ 32 there); shrink to a
+        # divisor for narrow test configurations
+        groups = self.num_groups
+        while x.shape[-1] % groups != 0:
+            groups //= 2
+        y = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32)(
             x.astype(jnp.float32)
         )
         return y.astype(orig_dtype)

@@ -130,6 +130,10 @@ class UNet1D(nn.Module):
     num_heads: int = 8
     use_scale_shift_norm: bool = False
     context_dim: Optional[int] = 512
+    # LDM cross-attention path (reference openaimodel.py use_spatial_transformer;
+    # OFF in the shipped Surf-D config, mdm.py:53)
+    use_spatial_transformer: bool = False
+    transformer_depth: int = 1
     use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -145,10 +149,27 @@ class UNet1D(nn.Module):
         emb = nn.Dense(time_embed_dim, name="time_embed_0")(t_emb)
         emb = nn.Dense(time_embed_dim, name="time_embed_2")(nn.silu(emb))
 
+        ctx_seq = None
         if self.num_classes is not None:
             emb = emb + nn.Embed(self.num_classes, time_embed_dim, name="label_emb")(y)
         if context is not None:
-            emb = emb + nn.Dense(time_embed_dim, name="context_proj")(context)
+            if self.use_spatial_transformer:
+                # cross-attention context: (B, T, C)
+                ctx_seq = context if context.ndim == 3 else context[:, None, :]
+            else:
+                # additive injection into the time embedding
+                # (openaimodel.py:512-514, 731-735)
+                emb = emb + nn.Dense(time_embed_dim, name="context_proj")(context)
+
+        def attn(h, name):
+            if self.use_spatial_transformer:
+                from .attention import SpatialTransformer1D
+
+                return SpatialTransformer1D(
+                    h.shape[-1], self.num_heads, self.transformer_depth,
+                    self.context_dim, name=name,
+                )(h, context=ctx_seq)
+            return AttentionBlock1D(self.num_heads, name=name)(h)
 
         h = x.astype(self.dtype)
         h = conv1d(self.model_channels, 3, name="in_conv")(h)
@@ -163,7 +184,7 @@ class UNet1D(nn.Module):
                     name=f"down_{level}_{i}",
                 )(h, emb)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock1D(self.num_heads, name=f"down_attn_{level}_{i}")(h)
+                    h = attn(h, f"down_attn_{level}_{i}")
                 hs.append(h)
             if level != len(self.channel_mult) - 1:
                 h = Downsample1D(h.shape[-1], self.conv_resample, name=f"downsample_{level}")(h)
@@ -172,7 +193,7 @@ class UNet1D(nn.Module):
         # --- middle ---
         ch = h.shape[-1]
         h = res_block(ch, use_scale_shift_norm=self.use_scale_shift_norm, name="mid_res_0")(h, emb)
-        h = AttentionBlock1D(self.num_heads, name="mid_attn")(h)
+        h = attn(h, "mid_attn")
         h = res_block(ch, use_scale_shift_norm=self.use_scale_shift_norm, name="mid_res_1")(h, emb)
         # --- decoder ---
         for level, mult in reversed(list(enumerate(self.channel_mult))):
@@ -184,7 +205,7 @@ class UNet1D(nn.Module):
                     name=f"up_{level}_{i}",
                 )(h, emb)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock1D(self.num_heads, name=f"up_attn_{level}_{i}")(h)
+                    h = attn(h, f"up_attn_{level}_{i}")
                 if level and i == self.num_res_blocks:
                     h = Upsample1D(h.shape[-1], self.conv_resample, name=f"upsample_{level}")(h)
                     ds //= 2
