@@ -1,0 +1,274 @@
+// Native marching-tetrahedra core for UDF fields.
+//
+// C++ twin of surfd_tpu/geometry/marching.py:marching_tetrahedra_udf — the
+// same Kuhn-decomposition / pseudo-sign algorithm (see that file's docstring
+// for the math and the reference citations), implemented as two passes so the
+// gradient evaluation between them stays on the TPU:
+//
+//   pass 1  surfd_mt_active_cubes(udf, R, ...)      → flat cube ids
+//   (python evaluates int8 unit gradients at the 8 corners of each cube)
+//   pass 2  surfd_mt_emit(udf, cube_ids, g8, ...)   → deduped verts + faces
+//
+// Multithreaded with std::thread over slabs; vertex dedup via a sorted
+// (edge-key, slot) pass, matching the numpy implementation's semantics
+// exactly (gauge-invariant t = u_a/(u_a+u_b) interpolation).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Kuhn tetrahedra and tables — identical to marching.py.
+static const int TETS[6][4] = {
+    {0, 1, 3, 7}, {0, 1, 5, 7}, {0, 2, 3, 7},
+    {0, 2, 6, 7}, {0, 4, 5, 7}, {0, 4, 6, 7},
+};
+static const int TET_EDGES[6][2] = {{0, 1}, {0, 2}, {0, 3}, {1, 2}, {1, 3}, {2, 3}};
+// TRI_TABLE[case][tri][corner] = tet-edge id, -1 = unused
+static const int TRI_TABLE[16][2][3] = {
+    {{-1, -1, -1}, {-1, -1, -1}}, {{0, 1, 2}, {-1, -1, -1}},
+    {{0, 3, 4}, {-1, -1, -1}},    {{1, 3, 4}, {1, 4, 2}},
+    {{1, 3, 5}, {-1, -1, -1}},    {{0, 3, 5}, {0, 5, 2}},
+    {{0, 1, 5}, {0, 5, 4}},       {{2, 4, 5}, {-1, -1, -1}},
+    {{2, 4, 5}, {-1, -1, -1}},    {{0, 5, 1}, {0, 4, 5}},
+    {{0, 5, 3}, {0, 2, 5}},       {{1, 5, 3}, {-1, -1, -1}},
+    {{1, 4, 3}, {1, 2, 4}},       {{0, 4, 3}, {-1, -1, -1}},
+    {{0, 2, 1}, {-1, -1, -1}},    {{-1, -1, -1}, {-1, -1, -1}},
+};
+// corner id bits: 0→dx, 1→dy, 2→dz (matches _CORNER_OFFSETS)
+static const int CORNER_OFF[8][3] = {
+    {0, 0, 0}, {1, 0, 0}, {0, 1, 0}, {1, 1, 0},
+    {0, 0, 1}, {1, 0, 1}, {0, 1, 1}, {1, 1, 1},
+};
+
+struct TriRec {
+    int64_t key[3];   // undirected edge keys a*NV+b
+    int64_t ga[3], gb[3];
+};
+
+inline int64_t gid_of(int x, int y, int z, int R) {
+    return ((int64_t)x * R + y) * R + z;
+}
+
+void worker_active(
+    const float* udf, int R, float near_thr, float avg_thr,
+    int z0, int z1, std::vector<int64_t>* out) {
+  const int64_t RR = (int64_t)R * R;
+  for (int x = z0; x < z1; ++x) {
+    for (int y = 0; y < R - 1; ++y) {
+      const float* row = udf + x * RR + (int64_t)y * R;
+      for (int z = 0; z < R - 1; ++z) {
+        // quick reject on the min corner, then all 8 + mean gate
+        if (row[z] > near_thr) continue;
+        float s = 0.f;
+        bool ok = true;
+        for (int c = 0; c < 8 && ok; ++c) {
+          float v = udf[(int64_t)(x + CORNER_OFF[c][0]) * RR +
+                        (int64_t)(y + CORNER_OFF[c][1]) * R +
+                        (z + CORNER_OFF[c][2])];
+          if (v > near_thr) ok = false;
+          s += v;
+        }
+        if (!ok || s * 0.125f >= avg_thr) continue;
+        out->push_back(((int64_t)x * (R - 1) + y) * (R - 1) + z);
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void surfd_free(void* p) { std::free(p); }
+
+// Pass 1: flat active-cube ids (x*(R-1)+y)*(R-1)+z. Returns count; caller
+// frees *out_ids with surfd_free.
+int64_t surfd_mt_active_cubes(
+    const float* udf, int32_t R, float near_thr, float avg_thr,
+    int64_t** out_ids) {
+  int nt = std::max(1u, std::thread::hardware_concurrency());
+  nt = std::min(nt, 16);
+  std::vector<std::vector<int64_t>> buf(nt);
+  std::vector<std::thread> threads;
+  int per = (R - 1 + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int a = t * per, b = std::min((t + 1) * per, (int)R - 1);
+    if (a >= b) break;
+    threads.emplace_back(worker_active, udf, R, near_thr, avg_thr, a, b, &buf[t]);
+  }
+  for (auto& th : threads) th.join();
+  int64_t total = 0;
+  for (auto& v : buf) total += (int64_t)v.size();
+  int64_t* ids = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(total, 1));
+  int64_t off = 0;
+  for (auto& v : buf) {
+    std::memcpy(ids + off, v.data(), v.size() * sizeof(int64_t));
+    off += (int64_t)v.size();
+  }
+  *out_ids = ids;
+  return total;
+}
+
+// Pass 2: emit the deduped mesh.
+//   udf        (R³,) f32
+//   cube_ids   (M,) flat ids from pass 1
+//   g8         (M, 8, 3) int8 unit gradients at cube corners
+// Outputs malloc'd arrays (caller frees): verts (V,3) f32, faces (F,3) i64.
+// Faces are oriented so normals align with the corner gradients.
+int64_t surfd_mt_emit(
+    const float* udf, int32_t R, float lo, float spacing,
+    const int64_t* cube_ids, int64_t M, const int8_t* g8,
+    float** out_verts, int64_t* out_nverts,
+    int64_t** out_faces, int64_t* out_nfaces) {
+  const int64_t NV = (int64_t)R * R * R;
+  const int Rm1 = R - 1;
+
+  int nt = std::max(1u, std::thread::hardware_concurrency());
+  nt = std::min(nt, 16);
+  std::vector<std::vector<TriRec>> tbuf(nt);
+
+  auto worker = [&](int t0idx, int t1idx, int ti) {
+    auto& out = tbuf[ti];
+    for (int64_t m = t0idx; m < t1idx; ++m) {
+      int64_t cid = cube_ids[m];
+      int z = (int)(cid % Rm1);
+      int y = (int)((cid / Rm1) % Rm1);
+      int x = (int)(cid / ((int64_t)Rm1 * Rm1));
+      const int8_t* g = g8 + m * 24;
+
+      auto dot = [&](int a, int b) {
+        int s = (int)g[a * 3] * g[b * 3] + (int)g[a * 3 + 1] * g[b * 3 + 1] +
+                (int)g[a * 3 + 2] * g[b * 3 + 2];
+        return s < 0;
+      };
+      // crossing parity along the canonical path (see marching.py)
+      bool cx = dot(0, 1);
+      bool cy[2] = {dot(0, 2), dot(1, 3)};
+      bool cz[2][2] = {{dot(0, 4), dot(2, 6)}, {dot(1, 5), dot(3, 7)}};
+      float vals[8];
+      int64_t gids[8];
+      for (int c = 0; c < 8; ++c) {
+        int dx = CORNER_OFF[c][0], dy = CORNER_OFF[c][1], dz = CORNER_OFF[c][2];
+        bool parity = false;
+        if (dx) parity ^= cx;
+        if (dy) parity ^= cy[dx];
+        if (dz) parity ^= cz[dx][dy];
+        gids[c] = gid_of(x + dx, y + dy, z + dz, R);
+        float u = udf[gids[c]];
+        vals[c] = parity ? -u : u;
+      }
+      for (int tet = 0; tet < 6; ++tet) {
+        int cse = 0;
+        for (int k = 0; k < 4; ++k)
+          if (vals[TETS[tet][k]] < 0.f) cse |= 1 << k;
+        for (int s = 0; s < 2; ++s) {
+          if (TRI_TABLE[cse][s][0] < 0) continue;
+          TriRec rec;
+          for (int k = 0; k < 3; ++k) {
+            int e = TRI_TABLE[cse][s][k];
+            int la = TETS[tet][TET_EDGES[e][0]];
+            int lb = TETS[tet][TET_EDGES[e][1]];
+            int64_t a = gids[la], b = gids[lb];
+            if (a > b) std::swap(a, b);
+            rec.ga[k] = a;
+            rec.gb[k] = b;
+            rec.key[k] = a * NV + b;
+          }
+          out.push_back(rec);
+        }
+      }
+    }
+  };
+
+  {
+    std::vector<std::thread> threads;
+    int64_t per = (M + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+      int64_t a = t * per, b = std::min<int64_t>((t + 1) * per, M);
+      if (a >= b) break;
+      threads.emplace_back(worker, a, b, t);
+    }
+    for (auto& th : threads) th.join();
+  }
+
+  int64_t T = 0;
+  for (auto& v : tbuf) T += (int64_t)v.size();
+  if (T == 0) {
+    *out_verts = (float*)std::malloc(4);
+    *out_nverts = 0;
+    *out_faces = (int64_t*)std::malloc(8);
+    *out_nfaces = 0;
+    return 0;
+  }
+
+  // Flatten all edge keys with their slot index, sort, assign vertex ids.
+  std::vector<std::pair<int64_t, int64_t>> keyslot(T * 3);
+  {
+    int64_t off = 0;
+    for (auto& v : tbuf) {
+      for (auto& rec : v) {
+        for (int k = 0; k < 3; ++k) keyslot[off * 3 + k] = {rec.key[k], off * 3 + k};
+        ++off;
+      }
+    }
+  }
+  std::sort(keyslot.begin(), keyslot.end());
+
+  std::vector<int64_t> face_flat(T * 3);
+  std::vector<int64_t> uniq_a, uniq_b;
+  uniq_a.reserve(T);
+  uniq_b.reserve(T);
+  int64_t vid = -1;
+  int64_t prev_key = INT64_MIN;
+  for (auto& ks : keyslot) {
+    if (ks.first != prev_key) {
+      prev_key = ks.first;
+      ++vid;
+      uniq_a.push_back(ks.first / NV);
+      uniq_b.push_back(ks.first % NV);
+    }
+    face_flat[ks.second] = vid;
+  }
+  int64_t V = vid + 1;
+
+  // Interpolate vertex positions: t = u_a / (u_a + u_b), gauge-invariant.
+  float* verts = (float*)std::malloc(sizeof(float) * 3 * V);
+  for (int64_t i = 0; i < V; ++i) {
+    int64_t a = uniq_a[i], b = uniq_b[i];
+    float ua = udf[a], ub = udf[b];
+    float su = ua + ub;
+    float t = su > 1e-12f ? ua / su : 0.5f;
+    int ax = (int)(a / ((int64_t)R * R)), ay = (int)((a / R) % R), az = (int)(a % R);
+    int bx = (int)(b / ((int64_t)R * R)), by = (int)((b / R) % R), bz = (int)(b % R);
+    verts[3 * i] = lo + spacing * (ax + t * (bx - ax));
+    verts[3 * i + 1] = lo + spacing * (ay + t * (by - ay));
+    verts[3 * i + 2] = lo + spacing * (az + t * (bz - az));
+  }
+
+  // Faces (drop degenerates after dedup-clamping).
+  int64_t* faces = (int64_t*)std::malloc(sizeof(int64_t) * 3 * T);
+  int64_t F = 0;
+  for (int64_t f = 0; f < T; ++f) {
+    int64_t i0 = face_flat[3 * f], i1 = face_flat[3 * f + 1], i2 = face_flat[3 * f + 2];
+    if (i0 == i1 || i1 == i2 || i0 == i2) continue;
+    faces[3 * F] = i0;
+    faces[3 * F + 1] = i1;
+    faces[3 * F + 2] = i2;
+    ++F;
+  }
+
+  *out_verts = verts;
+  *out_nverts = V;
+  *out_faces = faces;
+  *out_nfaces = F;
+  return F;
+}
+
+}  // extern "C"

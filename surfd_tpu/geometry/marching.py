@@ -272,6 +272,7 @@ def marching_tetrahedra_udf(
     coords_range: tuple[float, float] = (-1.0, 1.0),
     near_mult: float = 1.74,
     avg_mult: float = 1.05,
+    use_native: bool = True,
 ) -> Mesh:
     """Extract an (open) surface from a UDF + gradient grid.
 
@@ -304,6 +305,14 @@ def marching_tetrahedra_udf(
         assert gradients.shape == (R, R, R, 3)
         flat_g = np.ascontiguousarray(gradients, dtype=np.float32).reshape(-1, 3)
         grad_lookup = lambda gids: flat_g[gids]
+
+    if use_native:
+        from .. import native
+
+        if native.available():
+            return _marching_udf_native(
+                u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult
+            )
 
     # --- candidate cubes: gather-driven, ONE full-grid pass total ---
     # A cube participates only if all 8 corner UDFs are near; its min corner
@@ -366,6 +375,39 @@ def marching_tetrahedra_udf(
         vgid = (vid[:, 0] * R + vid[:, 1]) * R + vid[:, 2]
         uq, vinv = np.unique(vgid, return_inverse=True)
         mesh = _orient_faces_by_gradient(mesh, grad_lookup(uq)[vinv])
+    return mesh
+
+
+def _marching_udf_native(u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult) -> Mesh:
+    """Native (C++) marching path: same algorithm, threaded host loops.
+
+    Pass 1 finds active cubes, python resolves int8 unit gradients at their
+    distinct corners (on device when grad_lookup is lazy), pass 2 emits the
+    deduped mesh; orientation stays in numpy (shared with the pure path).
+    """
+    from .. import native
+
+    cube_ids = native.mt_active_cubes(u, near_mult * voxel, avg_mult * voxel)
+    if len(cube_ids) == 0:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+
+    Rm1 = R - 1
+    cz = cube_ids % Rm1
+    cy = (cube_ids // Rm1) % Rm1
+    cx = cube_ids // (Rm1 * Rm1)
+    gids = _cube_corner_gids(np.stack([cx, cy, cz], axis=1), R)
+    uniq_gids, inv8 = np.unique(gids, return_inverse=True)
+    g_uniq = np.asarray(grad_lookup(uniq_gids), np.float32)
+    norm = np.maximum(np.linalg.norm(g_uniq, axis=-1, keepdims=True), 1e-12)
+    g8 = np.round(g_uniq / norm * 127.0).astype(np.int8)[inv8].reshape(len(gids), 8, 3)
+
+    verts, faces = native.mt_emit(u, lo, voxel, cube_ids, g8)
+    mesh = Mesh(verts, faces)
+    if len(mesh.faces):
+        vid = np.clip(np.round((mesh.vertices - lo) / voxel).astype(np.int64), 0, R - 1)
+        vgid = (vid[:, 0] * R + vid[:, 1]) * R + vid[:, 2]
+        uq, vinv = np.unique(vgid, return_inverse=True)
+        mesh = _orient_faces_by_gradient(mesh, np.asarray(grad_lookup(uq), np.float32)[vinv])
     return mesh
 
 

@@ -30,13 +30,25 @@ def _load() -> ctypes.CDLL:
             raise RuntimeError(f"native library missing and no build script at {_BUILD_SCRIPT}")
         subprocess.run(["sh", str(_BUILD_SCRIPT)], check=True, capture_output=True)
     lib = ctypes.CDLL(str(_LIB_PATH))
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i8p = ctypes.POINTER(ctypes.c_int8)
     lib.surfd_closest_points.restype = ctypes.c_int
     lib.surfd_closest_points.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int32),
+        fp, ctypes.c_int64, ip, ctypes.c_int64, fp, ctypes.c_int64, fp, fp, ip,
+    ]
+    lib.surfd_free.restype = None
+    lib.surfd_free.argtypes = [ctypes.c_void_p]
+    lib.surfd_mt_active_cubes.restype = ctypes.c_int64
+    lib.surfd_mt_active_cubes.argtypes = [
+        fp, ctypes.c_int32, ctypes.c_float, ctypes.c_float, ctypes.POINTER(i64p),
+    ]
+    lib.surfd_mt_emit.restype = ctypes.c_int64
+    lib.surfd_mt_emit.argtypes = [
+        fp, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+        i64p, ctypes.c_int64, i8p,
+        ctypes.POINTER(fp), i64p, ctypes.POINTER(i64p), i64p,
     ]
     _LIB = lib
     return lib
@@ -75,3 +87,53 @@ def closest_points(vertices: np.ndarray, triangles: np.ndarray, queries: np.ndar
     if rc != 0:
         raise RuntimeError(f"surfd_closest_points failed with code {rc}")
     return out_d, out_c, out_t
+
+
+def mt_active_cubes(udf: np.ndarray, near_thr: float, avg_thr: float) -> np.ndarray:
+    """Flat active-cube ids for the UDF marching pass (C++, threaded)."""
+    lib = _load()
+    u = np.ascontiguousarray(udf, dtype=np.float32)
+    R = u.shape[0]
+    out = ctypes.POINTER(ctypes.c_int64)()
+    n = lib.surfd_mt_active_cubes(
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        R, ctypes.c_float(near_thr), ctypes.c_float(avg_thr), ctypes.byref(out),
+    )
+    try:
+        ids = np.ctypeslib.as_array(out, shape=(max(int(n), 1),))[: int(n)].copy()
+    finally:
+        lib.surfd_free(out)
+    return ids
+
+
+def mt_emit(udf: np.ndarray, lo: float, spacing: float, cube_ids: np.ndarray, g8: np.ndarray):
+    """Emit the deduped MT mesh for active cubes (C++, threaded).
+
+    g8: (M, 8, 3) int8 unit gradients at cube corners.
+    Returns (verts (V,3) f32, faces (F,3) i64).
+    """
+    lib = _load()
+    u = np.ascontiguousarray(udf, dtype=np.float32)
+    R = u.shape[0]
+    ids = np.ascontiguousarray(cube_ids, dtype=np.int64)
+    g = np.ascontiguousarray(g8, dtype=np.int8)
+    fp = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    overts = fp()
+    ofaces = i64p()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    lib.surfd_mt_emit(
+        u.ctypes.data_as(fp), R, ctypes.c_float(lo), ctypes.c_float(spacing),
+        ids.ctypes.data_as(i64p), len(ids),
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.byref(overts), ctypes.byref(nv), ctypes.byref(ofaces), ctypes.byref(nf),
+    )
+    try:
+        V, F = int(nv.value), int(nf.value)
+        verts = np.ctypeslib.as_array(overts, shape=(max(V, 1), 3))[:V].copy()
+        faces = np.ctypeslib.as_array(ofaces, shape=(max(F, 1), 3))[:F].copy()
+    finally:
+        lib.surfd_free(overts)
+        lib.surfd_free(ofaces)
+    return verts.astype(np.float32), faces.astype(np.int64)

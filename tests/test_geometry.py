@@ -223,3 +223,22 @@ def test_obj_roundtrip(tmp_path):
     back = read_obj(p)
     np.testing.assert_allclose(back.vertices, mesh.vertices, rtol=1e-5)
     np.testing.assert_array_equal(back.faces, mesh.faces)
+
+
+def test_native_mt_matches_numpy():
+    """C++ and numpy marching must agree (same algorithm, same dedup)."""
+    from surfd_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    udf, grad = sphere_udf_grids()
+    m_np = marching_tetrahedra_udf(udf, grad, use_native=False)
+    m_cc = marching_tetrahedra_udf(udf, grad, use_native=True)
+    assert len(m_cc.faces) == len(m_np.faces)
+    assert len(m_cc.vertices) == len(m_np.vertices)
+    # same vertex set (ordering may differ)
+    a = np.sort(m_np.vertices.view([("x", "f4"), ("y", "f4"), ("z", "f4")]).ravel())
+    b = np.sort(m_cc.vertices.view([("x", "f4"), ("y", "f4"), ("z", "f4")]).ravel())
+    np.testing.assert_allclose(
+        np.stack([a["x"], a["y"], a["z"]]), np.stack([b["x"], b["y"], b["z"]]), atol=2e-2
+    )
