@@ -28,6 +28,7 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--num_samples", type=int, default=2)
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--latent_size", type=int, default=32)
+    ap.add_argument("--model_channels", type=int, default=224)
     ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "plms"])
     ap.add_argument("--timestep_respacing", default="")
     ap.add_argument("--guidance_param", type=float, default=1.0)
@@ -53,7 +54,8 @@ def load_denoiser(args, cond_mode: str):
     """MDM + params from --model_path (npz or orbax dir) or random init."""
     from ..models import MDM
 
-    mdm = MDM(cond_mode=cond_mode, clip_dim=512)
+    mdm = MDM(cond_mode=cond_mode, clip_dim=512,
+              model_channels=getattr(args, "model_channels", 224))
     L = args.latent_size
     x = jnp.zeros((1, L, 1))
     t = jnp.zeros((1,), jnp.int32)

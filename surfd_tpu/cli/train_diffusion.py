@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--ae_dir", default="", help="dir with ae_encoder.npz")
     ap.add_argument("--save_dir", required=True)
     ap.add_argument("--latent_size", type=int, default=32)
+    ap.add_argument("--model_channels", type=int, default=224)
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--num_steps", type=int, default=600_000)
@@ -86,7 +87,7 @@ def main():
     else:
         print("WARNING: no AE encoder weights; using random encoder", file=sys.stderr)
 
-    mdm = MDM(cond_mode=args.cond_mode)
+    mdm = MDM(cond_mode=args.cond_mode, model_channels=args.model_channels)
     x0 = jnp.zeros((args.batch_size, args.latent_size, 1))
     t0 = jnp.zeros((args.batch_size,), jnp.int32)
     kw = {}

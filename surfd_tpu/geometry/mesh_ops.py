@@ -249,17 +249,19 @@ def fill_triangle_holes(mesh: Mesh) -> Mesh:
     return Mesh(mesh.vertices, np.concatenate([mesh.faces, new_faces], axis=0))
 
 
-def stabilize(mesh: Mesh, max_rounds: int = 5) -> Mesh:
+def stabilize(mesh: Mesh, max_rounds: int = 3) -> Mesh:
     """Repeat dedup/degenerate-removal/hole-fill until stable
     (the reference's repeat-until-stable loop, meshudf.py:381-402)."""
-    prev = -1
+    prev = (-1, -1)
     for _ in range(max_rounds):
+        n0 = (len(mesh.vertices), len(mesh.faces))
         mesh = merge_duplicate_vertices(mesh)
         mesh = remove_duplicate_faces(mesh)
         mesh = fill_triangle_holes(mesh)
-        if len(mesh.faces) == prev:
+        now = (len(mesh.vertices), len(mesh.faces))
+        if now == n0 or now == prev:
             break
-        prev = len(mesh.faces)
+        prev = n0
     return mesh
 
 

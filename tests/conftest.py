@@ -21,3 +21,20 @@ if not os.environ.get("SURFD_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: subprocess CLI smoke tests (run with SURFD_RUN_SLOW=1)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SURFD_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow CLI smoke test; set SURFD_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -1,0 +1,112 @@
+"""CLI smoke tests: drive the user-facing entry points end-to-end on tiny
+shapes with random weights (the reference has no CLI tests at all)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS=os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=600):
+    return subprocess.run(
+        [sys.executable, "-m"] + args,
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.mark.slow
+def test_generate_uncond_smoke(tmp_path):
+    r = _run([
+        "surfd_tpu.cli.generate_uncond", "--random-init",
+        "--num_samples", "1", "--resolution", "48", "--model_channels", "32",
+        "--timestep_respacing", "ddim10",
+        "--output_dir", str(tmp_path),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    # an OBJ file was produced (possibly empty mesh with random weights)
+    assert (tmp_path / "uncond_0.obj").exists()
+
+
+@pytest.mark.slow
+def test_generate_cat_smoke(tmp_path):
+    r = _run([
+        "surfd_tpu.cli.generate_cat", "--random-init", "--category", "dress",
+        "--num_samples", "1", "--resolution", "48", "--model_channels", "32",
+        "--timestep_respacing", "ddim10", "--sampler", "ddim",
+        "--output_dir", str(tmp_path),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "cat0_0.obj").exists()
+
+
+@pytest.mark.slow
+def test_preprocess_and_train_ae_smoke(tmp_path):
+    # build two tiny sphere meshes
+    from surfd_tpu.geometry import marching_tetrahedra, write_obj
+
+    xs = np.linspace(-1, 1, 24)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    mesh = marching_tetrahedra(np.linalg.norm(g, axis=-1) - 0.6, iso=0.0)
+    mdir = tmp_path / "meshes"
+    mdir.mkdir()
+    write_obj(str(mdir / "a.obj"), mesh)
+    write_obj(str(mdir / "b.obj"), mesh)
+
+    r = _run([
+        "surfd_tpu.cli.preprocess_udfs", "--mesh_root", str(mdir),
+        "--out_root", str(tmp_path / "data"), "--num_points_pcd", "512",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = list((tmp_path / "data" / "train").glob("*.npz"))
+    assert len(files) == 2
+    z = np.load(files[0])
+    assert z["pcd"].shape == (512, 3)
+
+    # AE training for 2 epochs on the tiny data
+    r = _run([
+        "surfd_tpu.cli.train_ae", "--data_root", str(tmp_path / "data"),
+        "--save_dir", str(tmp_path / "ae"), "--latent_size", "8",
+        "--hidden_dim", "32", "--num_hidden_layers", "1",
+        "--num_points_pcd", "128", "--num_points_forward", "256",
+        "--batch_size", "2", "--num_epochs", "2", "--log_interval", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "ae" / "ae_decoder.npz").exists()
+    assert (tmp_path / "ae" / "metrics.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_train_diffusion_smoke(tmp_path):
+    # minimal dataset
+    from surfd_tpu.geometry import marching_tetrahedra
+    from surfd_tpu.data.preprocess import PreprocessConfig, prepare_udf_sample
+
+    xs = np.linspace(-1, 1, 24)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    mesh = marching_tetrahedra(np.linalg.norm(g, axis=-1) - 0.6, iso=0.0)
+    payload = prepare_udf_sample(
+        mesh, PreprocessConfig(num_points_pcd=256, counts=(128, 64, 16), num_uniform=16)
+    )
+    d = tmp_path / "data" / "train"
+    d.mkdir(parents=True)
+    for name in ("a", "b"):
+        np.savez(d / f"{name}.npz", **payload)
+
+    r = _run([
+        "surfd_tpu.cli.train_diffusion", "--data_root", str(tmp_path / "data"),
+        "--save_dir", str(tmp_path / "diff"), "--latent_size", "8", "--model_channels", "32",
+        "--batch_size", "2", "--num_steps", "3", "--num_points_pcd", "64",
+        "--log_interval", "1", "--save_interval", "1000",
+    ], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "diff" / "args.json").exists()
+    assert (tmp_path / "diff" / "metrics.jsonl").exists()
