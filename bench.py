@@ -133,6 +133,7 @@ def main():
     t_mesh = time.perf_counter() - t1
     total = t_sample + t_mesh
 
+    log(f"phase times: {stats['times']}")
     log(
         f"sample {t_sample:.2f}s + mesh {t_mesh:.2f}s = {total:.2f}s | "
         f"verts {len(mesh.vertices)} faces {len(mesh.faces)} | "

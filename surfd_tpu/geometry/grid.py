@@ -257,17 +257,15 @@ class GridFiller:
         coarse = coarse.reshape(nb, nb, nb)
         active = coarse < self.threshold  # (nb, nb, nb)
 
-        # Initialize the full grid with the coarse value broadcast per block.
-        grid = np.repeat(np.repeat(np.repeat(coarse, B, 0), B, 1), B, 2).astype(np.float32)
+        # Inactive blocks provably contain no near-band vertex (soundness of
+        # the activity test), so their values only need to stay above the
+        # near threshold — max_dist does, no coarse broadcast required.
+        grid = np.full((N, N, N), self.max_dist, dtype=np.float32)
 
         ab = np.argwhere(active)  # (M, 3) active block coords
         if len(ab) > 0:
             # Vertex coordinates are GENERATED on device from the (tiny)
             # active-block index list — the only upload is M×3 int32.
-            off = np.stack(
-                np.meshgrid(np.arange(B), np.arange(B), np.arange(B), indexing="ij"),
-                axis=-1,
-            ).reshape(-1, 3)
             blocks_per_chunk = max(self.max_batch // B**3, 1)
             # uint16-quantized download when the evaluator provides it (the
             # tunnel's d2h is the bottleneck; step = max_dist/65535).
@@ -276,11 +274,13 @@ class GridFiller:
             block_udf = _get_block_fn(fine_fn, B, self.spacing, self.lo)
             M = len(ab)
             vals = eval_in_chunks(block_udf, ab.astype(np.int32), blocks_per_chunk)
-            vals = vals.reshape(M * B**3)
+            vals = vals.reshape(M, B, B, B)
             if u16_fn is not None:
                 vals = vals.astype(np.float32) * np.float32(self.max_dist / 65535.0)
-            flat = (ab[:, None, :] * B + off[None]).reshape(-1, 3)
-            grid[flat[:, 0], flat[:, 1], flat[:, 2]] = vals
+            # contiguous slab writes beat a 9.6M-element fancy scatter
+            for m in range(M):
+                x0, y0, z0 = ab[m] * B
+                grid[x0 : x0 + B, y0 : y0 + B, z0 : z0 + B] = vals[m]
 
         if return_stats:
             stats = {

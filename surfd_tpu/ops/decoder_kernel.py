@@ -95,12 +95,17 @@ def fold_decoder(decoder_vars, latent: jnp.ndarray, max_dist: float = 0.1) -> Fo
 
 def posenc_f32(pts: jnp.ndarray, num_freqs: int = 10, max_freq_log2: int = 9):
     """NeRF positional encoding, [x, sin(f·x), cos(f·x), ...] order
-    (decoder.py CoordsEncoder parity)."""
-    freqs = 2.0 ** jnp.linspace(0.0, max_freq_log2, num_freqs)
+    (decoder.py CoordsEncoder parity).
+
+    Frequencies are STATIC python floats (a traced linspace would lower to an
+    f32 iota, which Mosaic rejects inside Pallas kernels)."""
+    freqs = [
+        float(2.0 ** (max_freq_log2 * i / (num_freqs - 1))) for i in range(num_freqs)
+    ]
     parts = [pts]
-    for i in range(num_freqs):
-        parts.append(jnp.sin(pts * freqs[i]))
-        parts.append(jnp.cos(pts * freqs[i]))
+    for f in freqs:
+        parts.append(jnp.sin(pts * f))
+        parts.append(jnp.cos(pts * f))
     return jnp.concatenate(parts, axis=-1)
 
 
@@ -119,47 +124,67 @@ def folded_udf(folded: FoldedDecoder, pts: jnp.ndarray, dtype=jnp.bfloat16) -> j
 
 
 def _decoder_kernel(
-    pts_ref,      # (T, 3) f32 point tile
-    win_ref,      # (63, H)
-    bin_ref,      # (1, H)
-    a1_ref, c1_ref, w1_ref, b1_ref,   # (L, H) / (L, H, H)
-    a2_ref, c2_ref, w2_ref, b2_ref,
-    aout_ref, cout_ref,               # (1, H)
-    wout_ref,                         # (H, 1) padded to (H, 128)
-    bout_ref,                         # (1, 1) SMEM
-    maxdist_ref,                      # (1, 1) SMEM
+    # inputs
+    pts_ref,      # (T, 3) f32 point tile (VMEM, pipelined per grid step)
+    win_ref,      # (64, H) bf16 in HBM (63 zero-padded to the sublane size)
+    bin_ref,      # (1, H) f32 VMEM
+    aff_ref,      # (6, L, H) f32 VMEM: a1, c1, b1, a2, c2, b2 stacked
+    w1_ref,       # (L, H, H) bf16 HBM
+    w2_ref,       # (L, H, H) bf16 HBM
+    aout_ref, cout_ref,  # (1, H) f32 VMEM
+    wout_ref,     # (H, 128) bf16 VMEM (col 0 real)
+    scal_ref,     # (1, 2) f32 SMEM: [b_out, max_dist]
+    # outputs
     out_ref,      # (T,) f32
+    # scratch (persists across grid steps)
+    win_s,        # (64, H) bf16 VMEM
+    w1_s,         # (L, H, H) bf16 VMEM
+    w2_s,         # (L, H, H) bf16 VMEM
+    sem,          # DMA semaphores (3,)
 ):
-    L = a1_ref.shape[0]
-    pts = pts_ref[:]  # (T, 3) f32
+    L = w1_s.shape[0]
 
-    # posenc in f32 on the VPU, then cast for the MXU chain
-    emb = posenc_f32(pts)  # (T, 63)
+    # Copy all weights HBM→VMEM ONCE; scratch persists across the grid, so
+    # every later tile reuses the resident copies (the v1 kernel re-DMA'd
+    # 5.8 MB of weights per 1024-point tile and ran 2× slower than XLA).
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        pltpu.make_async_copy(win_ref, win_s, sem.at[0]).start()
+        pltpu.make_async_copy(w1_ref, w1_s, sem.at[1]).start()
+        pltpu.make_async_copy(w2_ref, w2_s, sem.at[2]).start()
+        pltpu.make_async_copy(win_ref, win_s, sem.at[0]).wait()
+        pltpu.make_async_copy(w1_ref, w1_s, sem.at[1]).wait()
+        pltpu.make_async_copy(w2_ref, w2_s, sem.at[2]).wait()
+
+    pts = pts_ref[:]  # (T, 3) f32
+    emb = posenc_f32(pts)  # (T, 63) f32 on the VPU
+    emb = jnp.pad(emb, ((0, 0), (0, 1)))  # → (T, 64) matching win padding
     x = (
-        jnp.dot(emb.astype(jnp.bfloat16), win_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(emb.astype(jnp.bfloat16), win_s[:], preferred_element_type=jnp.float32)
         + bin_ref[:]
     )
 
-    def block(i, x):
-        h = jnp.maximum(x * a1_ref[i] + c1_ref[i], 0.0)
-        h = jnp.dot(h.astype(jnp.bfloat16), w1_ref[i], preferred_element_type=jnp.float32) + b1_ref[i]
-        h = jnp.maximum(h * a2_ref[i] + c2_ref[i], 0.0)
-        dx = jnp.dot(h.astype(jnp.bfloat16), w2_ref[i], preferred_element_type=jnp.float32) + b2_ref[i]
-        return x + dx
-
-    x = jax.lax.fori_loop(0, L, block, x)
+    # statically unrolled layer loop: dynamic (L, H, H) slicing would force
+    # per-iteration VMEM copies and defeat Mosaic's scheduling
+    for i in range(L):
+        h = jnp.maximum(x * aff_ref[0, i] + aff_ref[1, i], 0.0)
+        h = jnp.dot(h.astype(jnp.bfloat16), w1_s[i], preferred_element_type=jnp.float32)
+        h = h + aff_ref[2, i]
+        h = jnp.maximum(h * aff_ref[3, i] + aff_ref[4, i], 0.0)
+        dx = jnp.dot(h.astype(jnp.bfloat16), w2_s[i], preferred_element_type=jnp.float32)
+        x = x + dx + aff_ref[5, i]
     h = jnp.maximum(x * aout_ref[:] + cout_ref[:], 0.0)
     logit = jnp.dot(h.astype(jnp.bfloat16), wout_ref[:], preferred_element_type=jnp.float32)
-    logit = logit[:, 0] + bout_ref[0, 0]
-    out_ref[:] = (1.0 - jax.nn.sigmoid(logit)) * maxdist_ref[0, 0]
+    logit = logit[:, 0] + scal_ref[0, 0]
+    out_ref[:] = (1.0 - jax.nn.sigmoid(logit)) * scal_ref[0, 1]
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
 def pallas_folded_udf(folded: FoldedDecoder, pts: jnp.ndarray, tile: int = 1024):
-    """Pallas evaluation: weights pinned in VMEM, point tiles streamed.
+    """Pallas evaluation: weights copied to VMEM once, point tiles streamed.
 
-    pts: (P, 3) with P a multiple of `tile`. Weights are bf16 (≈5.8 MB in
-    VMEM for the 512×5 configuration), activations f32 accumulations.
+    pts: (P, 3) with P a multiple of `tile`. Weights are bf16 (≈5.3 MB VMEM
+    scratch for the 512×5 configuration); matmuls accumulate in f32.
     """
     P = pts.shape[0]
     assert P % tile == 0, f"P={P} must be a multiple of tile={tile}"
@@ -168,39 +193,57 @@ def pallas_folded_udf(folded: FoldedDecoder, pts: jnp.ndarray, tile: int = 1024)
     bf = lambda a: a.astype(jnp.bfloat16)
     f32row = lambda a: a.astype(jnp.float32).reshape(1, H)
 
-    # Pad w_out's singleton output to the 128-lane minimum.
+    win = jnp.zeros((64, H), jnp.bfloat16).at[:63].set(bf(folded.w_in))
     wout = jnp.zeros((H, 128), jnp.bfloat16).at[:, 0].set(bf(folded.w_out[:, 0]))
+    aff = jnp.stack(
+        [folded.a1, folded.c1, folded.b1, folded.a2, folded.c2, folded.b2]
+    ).astype(jnp.float32)  # (6, L, H)
+    scal = jnp.stack(
+        [folded.b_out.reshape(()).astype(jnp.float32), jnp.float32(folded.max_dist)]
+    ).reshape(1, 2)
 
     grid = (P // tile,)
-    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    vmem_const = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    hbm_const = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.ANY
+    )
     out = pl.pallas_call(
         _decoder_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            const((63, H)),
-            const((1, H)),
-            const((L, H)), const((L, H)), const((L, H, H)), const((L, H)),
-            const((L, H)), const((L, H)), const((L, H, H)), const((L, H)),
-            const((1, H)), const((1, H)),
-            const((H, 128)),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            hbm_const((64, H)),
+            vmem_const((1, H)),
+            vmem_const((6, L, H)),
+            hbm_const((L, H, H)),
+            hbm_const((L, H, H)),
+            vmem_const((1, H)), vmem_const((1, H)),
+            vmem_const((H, 128)),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P,), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((64, H), jnp.bfloat16),
+            pltpu.VMEM((L, H, H), jnp.bfloat16),
+            pltpu.VMEM((L, H, H), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
     )(
         pts.astype(jnp.float32),
-        bf(folded.w_in),
+        win,
         f32row(folded.b_in),
-        folded.a1.astype(jnp.float32), folded.c1.astype(jnp.float32),
-        bf(folded.w1), folded.b1.astype(jnp.float32),
-        folded.a2.astype(jnp.float32), folded.c2.astype(jnp.float32),
-        bf(folded.w2), folded.b2.astype(jnp.float32),
+        aff,
+        bf(folded.w1),
+        bf(folded.w2),
         f32row(folded.a_out), f32row(folded.c_out),
         wout,
-        jnp.asarray(folded.b_out, jnp.float32).reshape(1, 1),
-        jnp.asarray([[folded.max_dist]], jnp.float32),
+        scal,
     )
     return out
 
