@@ -22,6 +22,15 @@
 #include <thread>
 #include <vector>
 
+#if defined(_OPENMP)
+#include <parallel/algorithm>
+#define SURFD_SORT __gnu_parallel::sort
+#else
+#define SURFD_SORT std::sort
+#endif
+
+#include "radix.h"
+
 namespace {
 
 // Kuhn tetrahedra and tables — identical to marching.py.
@@ -48,8 +57,7 @@ static const int CORNER_OFF[8][3] = {
 };
 
 struct TriRec {
-    int64_t key[3];   // undirected edge keys a*NV+b
-    int64_t ga[3], gb[3];
+    int64_t key[3];   // undirected edge keys a*NV+b, winding already oriented
 };
 
 inline int64_t gid_of(int x, int y, int z, int R) {
@@ -164,6 +172,16 @@ int64_t surfd_mt_emit(
         float u = udf[gids[c]];
         vals[c] = parity ? -u : u;
       }
+      // per-cube outward direction: mean of s_c · g_c over corners (the UDF
+      // gradient points away from the surface on the pseudo-positive side)
+      float ox = 0.f, oy = 0.f, oz = 0.f;
+      for (int c = 0; c < 8; ++c) {
+        float s = vals[c] < 0.f ? -1.f : 1.f;
+        ox += s * g[c * 3];
+        oy += s * g[c * 3 + 1];
+        oz += s * g[c * 3 + 2];
+      }
+
       for (int tet = 0; tet < 6; ++tet) {
         int cse = 0;
         for (int k = 0; k < 4; ++k)
@@ -171,16 +189,31 @@ int64_t surfd_mt_emit(
         for (int s = 0; s < 2; ++s) {
           if (TRI_TABLE[cse][s][0] < 0) continue;
           TriRec rec;
+          float px[3], py[3], pz[3];
           for (int k = 0; k < 3; ++k) {
             int e = TRI_TABLE[cse][s][k];
             int la = TETS[tet][TET_EDGES[e][0]];
             int lb = TETS[tet][TET_EDGES[e][1]];
             int64_t a = gids[la], b = gids[lb];
             if (a > b) std::swap(a, b);
-            rec.ga[k] = a;
-            rec.gb[k] = b;
             rec.key[k] = a * NV + b;
+            // interpolated position (grid-index space; affine → same winding)
+            float ua = udf[a], ub = udf[b];
+            float su = ua + ub;
+            float t = su > 1e-12f ? ua / su : 0.5f;
+            float ax_ = (float)(a / ((int64_t)R * R)), ay_ = (float)((a / R) % R), az_ = (float)(a % R);
+            float bx_ = (float)(b / ((int64_t)R * R)), by_ = (float)((b / R) % R), bz_ = (float)(b % R);
+            px[k] = ax_ + t * (bx_ - ax_);
+            py[k] = ay_ + t * (by_ - ay_);
+            pz[k] = az_ + t * (bz_ - az_);
           }
+          // orient: flip if normal opposes the cube outward direction
+          float e1x = px[1] - px[0], e1y = py[1] - py[0], e1z = pz[1] - pz[0];
+          float e2x = px[2] - px[0], e2y = py[2] - py[0], e2z = pz[2] - pz[0];
+          float nx = e1y * e2z - e1z * e2y;
+          float ny = e1z * e2x - e1x * e2z;
+          float nz = e1x * e2y - e1y * e2x;
+          if (nx * ox + ny * oy + nz * oz < 0.f) std::swap(rec.key[1], rec.key[2]);
           out.push_back(rec);
         }
       }
@@ -208,33 +241,34 @@ int64_t surfd_mt_emit(
     return 0;
   }
 
-  // Flatten all edge keys with their slot index, sort, assign vertex ids.
-  std::vector<std::pair<int64_t, int64_t>> keyslot(T * 3);
+  // Flatten all edge keys with their slot index, radix-sort, assign ids.
+  std::vector<surfd::KV> keyslot(T * 3);
   {
     int64_t off = 0;
     for (auto& v : tbuf) {
       for (auto& rec : v) {
-        for (int k = 0; k < 3; ++k) keyslot[off * 3 + k] = {rec.key[k], off * 3 + k};
+        for (int k = 0; k < 3; ++k)
+          keyslot[off * 3 + k] = {(uint64_t)rec.key[k], off * 3 + k};
         ++off;
       }
     }
   }
-  std::sort(keyslot.begin(), keyslot.end());
+  surfd::radix_sort_kv(keyslot, (uint64_t)NV * NV);
 
   std::vector<int64_t> face_flat(T * 3);
   std::vector<int64_t> uniq_a, uniq_b;
   uniq_a.reserve(T);
   uniq_b.reserve(T);
   int64_t vid = -1;
-  int64_t prev_key = INT64_MIN;
+  uint64_t prev_key = UINT64_MAX;
   for (auto& ks : keyslot) {
-    if (ks.first != prev_key) {
-      prev_key = ks.first;
+    if (ks.key != prev_key) {
+      prev_key = ks.key;
       ++vid;
-      uniq_a.push_back(ks.first / NV);
-      uniq_b.push_back(ks.first % NV);
+      uniq_a.push_back((int64_t)(ks.key / NV));
+      uniq_b.push_back((int64_t)(ks.key % NV));
     }
-    face_flat[ks.second] = vid;
+    face_flat[ks.val] = vid;
   }
   int64_t V = vid + 1;
 
@@ -269,6 +303,31 @@ int64_t surfd_mt_emit(
   *out_faces = faces;
   *out_nfaces = F;
   return F;
+}
+
+// Sorted-unique with inverse mapping (parallel sort). Returns #unique;
+// caller frees *out_unique with surfd_free. inverse must hold n entries.
+int64_t surfd_unique_inverse_i64(
+    const int64_t* keys, int64_t n, int64_t** out_unique, int64_t* inverse) {
+  std::vector<surfd::KV> ks((size_t)n);
+  uint64_t max_key = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    ks[i] = {(uint64_t)keys[i], i};
+    max_key = std::max(max_key, (uint64_t)keys[i]);
+  }
+  surfd::radix_sort_kv(ks, max_key);
+  int64_t* uniq = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(n, 1));
+  int64_t vid = -1;
+  uint64_t prev = UINT64_MAX;
+  for (auto& p : ks) {
+    if (p.key != prev || vid < 0) {
+      prev = p.key;
+      uniq[++vid] = (int64_t)p.key;
+    }
+    inverse[p.val] = vid;
+  }
+  *out_unique = uniq;
+  return vid + 1;
 }
 
 }  // extern "C"

@@ -273,6 +273,7 @@ def marching_tetrahedra_udf(
     near_mult: float = 1.74,
     avg_mult: float = 1.05,
     use_native: bool = True,
+    times: dict | None = None,
 ) -> Mesh:
     """Extract an (open) surface from a UDF + gradient grid.
 
@@ -311,7 +312,7 @@ def marching_tetrahedra_udf(
 
         if native.available():
             return _marching_udf_native(
-                u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult
+                u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult, times
             )
 
     # --- candidate cubes: gather-driven, ONE full-grid pass total ---
@@ -378,16 +379,27 @@ def marching_tetrahedra_udf(
     return mesh
 
 
-def _marching_udf_native(u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult) -> Mesh:
+def _marching_udf_native(
+    u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult, times=None
+) -> Mesh:
     """Native (C++) marching path: same algorithm, threaded host loops.
 
     Pass 1 finds active cubes, python resolves int8 unit gradients at their
     distinct corners (on device when grad_lookup is lazy), pass 2 emits the
     deduped mesh; orientation stays in numpy (shared with the pure path).
     """
+    import time as _time
+
     from .. import native
 
+    def mark(name, t0):
+        if times is not None:
+            times[name] = round(_time.perf_counter() - t0, 3)
+        return _time.perf_counter()
+
+    t0 = _time.perf_counter()
     cube_ids = native.mt_active_cubes(u, near_mult * voxel, avg_mult * voxel)
+    t0 = mark("mt_pass1", t0)
     if len(cube_ids) == 0:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
 
@@ -396,19 +408,25 @@ def _marching_udf_native(u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mu
     cy = (cube_ids // Rm1) % Rm1
     cx = cube_ids // (Rm1 * Rm1)
     gids = _cube_corner_gids(np.stack([cx, cy, cz], axis=1), R)
-    uniq_gids, inv8 = np.unique(gids, return_inverse=True)
-    g_uniq = np.asarray(grad_lookup(uniq_gids), np.float32)
-    norm = np.maximum(np.linalg.norm(g_uniq, axis=-1, keepdims=True), 1e-12)
-    g8 = np.round(g_uniq / norm * 127.0).astype(np.int8)[inv8].reshape(len(gids), 8, 3)
+    # Every active-cube corner is in the near band (the pass-1 gate requires
+    # it), and flatnonzero emits SORTED indices — so the near-band gid list
+    # doubles as the sorted-unique superset, replacing an np.unique sort of
+    # 8M gids with one grid sweep + searchsorted.
+    near_gids = np.flatnonzero(flat_u <= np.float32(near_mult * voxel))
+    inv8 = np.searchsorted(near_gids, gids)
+    t0 = mark("mt_unique", t0)
+    g_near = np.asarray(grad_lookup(near_gids), np.float32)
+    t0 = mark("mt_grads", t0)
+    norm = np.maximum(np.linalg.norm(g_near, axis=-1, keepdims=True), 1e-12)
+    g_i8 = np.round(g_near / norm * 127.0).astype(np.int8)
+    g8 = g_i8[inv8.reshape(len(gids), 8)]
+    t0 = mark("mt_g8", t0)
 
+    # pass 2 orients triangles in-loop (per-cube s·g outward direction), so
+    # no separate orientation pass is needed
     verts, faces = native.mt_emit(u, lo, voxel, cube_ids, g8)
-    mesh = Mesh(verts, faces)
-    if len(mesh.faces):
-        vid = np.clip(np.round((mesh.vertices - lo) / voxel).astype(np.int64), 0, R - 1)
-        vgid = (vid[:, 0] * R + vid[:, 1]) * R + vid[:, 2]
-        uq, vinv = np.unique(vgid, return_inverse=True)
-        mesh = _orient_faces_by_gradient(mesh, np.asarray(grad_lookup(uq), np.float32)[vinv])
-    return mesh
+    mark("mt_pass2", t0)
+    return Mesh(verts, faces)
 
 
 class _LazyGradLookup:

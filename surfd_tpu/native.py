@@ -44,6 +44,8 @@ def _load() -> ctypes.CDLL:
     lib.surfd_mt_active_cubes.argtypes = [
         fp, ctypes.c_int32, ctypes.c_float, ctypes.c_float, ctypes.POINTER(i64p),
     ]
+    lib.surfd_unique_inverse_i64.restype = ctypes.c_int64
+    lib.surfd_unique_inverse_i64.argtypes = [i64p, ctypes.c_int64, ctypes.POINTER(i64p), i64p]
     lib.surfd_mt_emit.restype = ctypes.c_int64
     lib.surfd_mt_emit.argtypes = [
         fp, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
@@ -137,3 +139,21 @@ def mt_emit(udf: np.ndarray, lo: float, spacing: float, cube_ids: np.ndarray, g8
         lib.surfd_free(overts)
         lib.surfd_free(ofaces)
     return verts.astype(np.float32), faces.astype(np.int64)
+
+
+def unique_inverse_i64(keys: np.ndarray):
+    """Parallel sorted-unique with inverse (np.unique(..., return_inverse=True)
+    equivalent for int64 keys, multithreaded C++)."""
+    lib = _load()
+    k = np.ascontiguousarray(keys, dtype=np.int64)
+    inv = np.empty(len(k), np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    out = i64p()
+    n = lib.surfd_unique_inverse_i64(
+        k.ctypes.data_as(i64p), len(k), ctypes.byref(out), inv.ctypes.data_as(i64p)
+    )
+    try:
+        uniq = np.ctypeslib.as_array(out, shape=(max(int(n), 1),))[: int(n)].copy()
+    finally:
+        lib.surfd_free(out)
+    return uniq, inv

@@ -147,13 +147,23 @@ def filter_faces_by_udf(
     if len(mesh.faces) == 0:
         return mesh
     v, f = mesh.vertices, mesh.faces
-    # Query each unique vertex and unique edge midpoint ONCE (shared edges/
-    # vertices would otherwise be re-decoded up to 6×).
-    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
-    e = np.sort(e, axis=1)
+
+    # Dedup shared vertices/edges so each point is decoded once (a face and
+    # its neighbor share all of their edge tests). The sort uses the native
+    # parallel unique when available.
+    ea_all = np.concatenate([f[:, 0], f[:, 1], f[:, 2]])
+    eb_all = np.concatenate([f[:, 1], f[:, 2], f[:, 0]])
+    lo_ = np.minimum(ea_all, eb_all)
+    hi_ = np.maximum(ea_all, eb_all)
     NV = len(v) + 1
-    keys = e[:, 0] * NV + e[:, 1]
-    uniq, inv = np.unique(keys, return_inverse=True)
+    keys = lo_ * NV + hi_
+    from .. import native
+
+    if native.available():
+        uniq, inv = native.unique_inverse_i64(keys)
+    else:
+        uniq, inv = np.unique(keys, return_inverse=True)
+        inv = inv.ravel()
     ea = (uniq // NV).astype(np.int64)
     eb = (uniq % NV).astype(np.int64)
     mids = 0.5 * (v[ea] + v[eb])
@@ -223,7 +233,7 @@ def get_mesh_from_udf(
     # Gradients are evaluated lazily at exactly the grid nodes marching
     # touches — no dense (R³, 3) gradient grid is built or transferred.
     grad_at = lambda pts: eval_in_chunks(grad_fn, pts, cfg.max_batch)
-    mesh = marching_tetrahedra_udf(grid, grad_at, cfg.coords_range)
+    mesh = marching_tetrahedra_udf(grid, grad_at, cfg.coords_range, times=times)
     times["marching"] = time.perf_counter() - t0
     stats["raw_faces"] = len(mesh.faces)
 
