@@ -81,6 +81,16 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _next_bucket(n: int) -> int:
+    """Smallest b ≥ n with b ∈ {2^k, 1.5·2^k}: ≤33% padding waste while
+    keeping the number of compiled lax.map variants logarithmic."""
+    p = _next_pow2(n)
+    if n <= 1:
+        return 1
+    three_q = (p // 4) * 3  # 1.5 · 2^(k-1)
+    return three_q if three_q >= n else p
+
+
 def eval_in_chunks(fn, pts, chunk: int) -> np.ndarray:
     """Evaluate a jitted device fn over (P, ...) points in fixed-size chunks.
 
@@ -96,7 +106,7 @@ def eval_in_chunks(fn, pts, chunk: int) -> np.ndarray:
         probe = np.asarray(fn(jnp.zeros((chunk, 3), jnp.float32)))
         return np.zeros((0,) + probe.shape[1:], probe.dtype)
     chunk = min(chunk, _next_pow2(P))
-    n_chunks = _next_pow2(math.ceil(P / chunk))
+    n_chunks = _next_bucket(math.ceil(P / chunk))
     pad = n_chunks * chunk - P
     if isinstance(pts, np.ndarray):
         if pad:

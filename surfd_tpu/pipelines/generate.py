@@ -80,15 +80,22 @@ def make_udf_fn(
     gi8_fn.stable = (grad_i8_base, args)
     udf_fn.grad_i8_fn = gi8_fn
 
+    # Bound thresholds are cached: jnp.float32(thr) is a host→device scalar
+    # transfer that costs a full tunnel round trip per call otherwise.
+    _thr_cache: dict = {}
+
+    def _bargs(thr):
+        key = float(thr)
+        if key not in _thr_cache:
+            _thr_cache[key] = (dvars, lat, jnp.float32(key))
+        return _thr_cache[key]
+
     def below_fn(pts, thr):
-        bargs = (dvars, lat, jnp.float32(thr))
-        f = lambda p: jit_below(bargs, p)
-        f.stable = (below_base, bargs)
-        return f(pts)
+        return jit_below(_bargs(thr), pts)
 
     # expose a pre-bindable form so eval_in_chunks can use the stable cache
     def below_bound(thr):
-        bargs = (dvars, lat, jnp.float32(thr))
+        bargs = _bargs(thr)
         f = lambda p: jit_below(bargs, p)
         f.stable = (below_base, bargs)
         return f

@@ -1,0 +1,227 @@
+"""Reference-checkpoint converters: Surf-D torch .pt → surfd_tpu param trees.
+
+Enables true parity checks against the published PyTorch checkpoints
+(SURVEY.md §7 step 5). Conversions map the reference module layouts:
+  * Dgcnn encoder      (/root/reference/AutoEncoder/models/dgcnn.py:27-115)
+  * CbnDecoder         (/root/reference/AutoEncoder/models/cbndec.py:4-134)
+  * MDM 1-D UNet       (/root/reference/models/openaimodel.py:413-749 at the
+                        mdm.py:34-57 configuration)
+
+torch (CPU) is only needed at conversion time; outputs are plain numpy trees
+loadable with utils.checkpoint.load_params_npz / usable directly.
+
+Layout rules applied throughout:
+  torch Linear weight (out, in)        → flax Dense kernel (in, out):  W.T
+  torch Conv1d k=1 weight (out, in, 1) → flax Dense kernel (in, out):  W[:, :, 0].T
+  torch Conv1d k=3 weight (out, in, 3) → flax Conv kernel (3, in, out): W.transpose(2, 1, 0)
+  torch BatchNorm running_mean/var     → flax batch_stats mean/var
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t, np.float32)
+
+
+def _dense(sd, prefix, bias=True):
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _conv1x1(sd, prefix, bias=True):
+    w = _np(sd[f"{prefix}.weight"])  # (out, in, 1)
+    out = {"kernel": w[:, :, 0].T}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _convk(sd, prefix):
+    """torch Conv1d any-k (out, in, k) → flax Conv kernel (k, in, out)."""
+    w = _np(sd[f"{prefix}.weight"])
+    return {"kernel": w.transpose(2, 1, 0), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+_conv3 = _convk
+
+
+def _bn(sd, prefix):
+    """torch BatchNorm1d → (params affine, batch_stats)."""
+    params = {}
+    if f"{prefix}.weight" in sd:
+        params = {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+    stats = {
+        "mean": _np(sd[f"{prefix}.running_mean"]),
+        "var": _np(sd[f"{prefix}.running_var"]),
+    }
+    return params, stats
+
+
+def convert_dgcnn(sd: Dict) -> dict:
+    """Reference Dgcnn state_dict → {'params', 'batch_stats'} for models.Dgcnn."""
+    params, stats = {}, {}
+    for i in range(1, 5):
+        params[f"block{i}_conv"] = {"kernel": _np(sd[f"conv_{i}.weight"]).T}
+        bn_p, bn_s = _bn(sd, f"bn_{i}")
+        params[f"block{i}_bn"] = bn_p
+        stats[f"block{i}_bn"] = bn_s
+    params["head_conv"] = {"kernel": _np(sd["conv_5.weight"]).T}
+    bn_p, bn_s = _bn(sd, "bn_5")
+    params["head_bn"] = bn_p
+    stats["head_bn"] = bn_s
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_cbn_decoder(sd: Dict, num_hidden_layers: int = 5) -> dict:
+    """Reference CbnDecoder state_dict → {'params', 'batch_stats'}.
+
+    Reference prefix: decoder.fc_p / decoder.blocks.{i}.{bn_0,bn_1,fc_0,fc_1}
+    / decoder.bn / decoder.fc_out (cbndec.py:106-134)."""
+    def cbn(prefix):
+        p = {
+            "gamma": _conv1x1(sd, f"{prefix}.conv_gamma"),
+            "beta": _conv1x1(sd, f"{prefix}.conv_beta"),
+        }
+        _, bn_s = _bn(sd, f"{prefix}.bn")
+        return p, {"bn": bn_s}
+
+    params = {"fc_p": _conv1x1(sd, "decoder.fc_p"), "fc_out": _conv1x1(sd, "decoder.fc_out")}
+    stats = {}
+    for i in range(num_hidden_layers):
+        b = f"decoder.blocks.{i}"
+        bn0_p, bn0_s = cbn(f"{b}.bn_0")
+        bn1_p, bn1_s = cbn(f"{b}.bn_1")
+        params[f"block_{i}"] = {
+            "bn_0": bn0_p,
+            "bn_1": bn1_p,
+            "fc_0": _conv1x1(sd, f"{b}.fc_0"),
+            "fc_1": _conv1x1(sd, f"{b}.fc_1"),
+        }
+        stats[f"block_{i}"] = {"bn_0": bn0_s, "bn_1": bn1_s}
+    bno_p, bno_s = cbn("decoder.bn")
+    params["bn_out"] = bno_p
+    stats["bn_out"] = bno_s
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_mdm_unet(sd: Dict, model_channels: int = 224,
+                     channel_mult=(1, 2, 4, 4), num_res_blocks: int = 2) -> dict:
+    """Reference MDM/UNetModel state_dict → params for models.MDM.
+
+    Keys arrive as `Unet.*` (mdm.py:34) with guided-diffusion's sequential
+    block numbering (openaimodel.py:516-692); CLIP keys are skipped (the
+    reference strips them at save, training_loop_single.py:320-355).
+    """
+    sd = {k[len("Unet."):]: v for k, v in sd.items() if k.startswith("Unet.")} or sd
+
+    def _groupnorm(sd_, prefix):
+        # flax path: <parent>/GroupNorm32_k/GroupNorm_0/{scale,bias}
+        return {
+            "GroupNorm_0": {
+                "scale": _np(sd_[f"{prefix}.weight"]),
+                "bias": _np(sd_[f"{prefix}.bias"]),
+            }
+        }
+
+    def res_params(prefix):
+        return {
+            "GroupNorm32_0": _groupnorm(sd, f"{prefix}.in_layers.0"),
+            "in_conv": _conv3(sd, f"{prefix}.in_layers.2"),
+            "emb_proj": _dense(sd, f"{prefix}.emb_layers.1"),
+            "GroupNorm32_1": _groupnorm(sd, f"{prefix}.out_layers.0"),
+            "out_conv": _conv3(sd, f"{prefix}.out_layers.3"),
+            **(
+                {"skip": _convk(sd, f"{prefix}.skip_connection")}
+                if f"{prefix}.skip_connection.weight" in sd
+                else {}
+            ),
+        }
+
+    def attn_params(prefix):
+        return {
+            "GroupNorm32_0": _groupnorm(sd, f"{prefix}.norm"),
+            "qkv": _convk(sd, f"{prefix}.qkv"),
+            "proj_out": _convk(sd, f"{prefix}.proj_out"),
+        }
+
+    unet = {
+        "time_embed_0": _dense(sd, "time_embed.0"),
+        "time_embed_2": _dense(sd, "time_embed.2"),
+        "in_conv": _conv3(sd, "input_blocks.0.0"),
+        "GroupNorm32_0": _groupnorm(sd, "out.0"),
+        "out_conv": _conv3(sd, "out.2"),
+    }
+    if "label_emb.weight" in sd:
+        unet["label_emb"] = {"embedding": _np(sd["label_emb.weight"])}
+    if "sketch_emb.weight" in sd:
+        unet["context_proj"] = _dense(sd, "sketch_emb")
+
+    # encoder blocks: sequential numbering — per level: num_res_blocks
+    # entries of [ResBlock(+Attn)], then a Downsample entry (except last)
+    idx = 1
+    ds = 1
+    attn_res = (4, 2, 1)
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            unet[f"down_{level}_{i}"] = res_params(f"input_blocks.{idx}.0")
+            if ds in attn_res:
+                unet[f"down_attn_{level}_{i}"] = attn_params(f"input_blocks.{idx}.1")
+            idx += 1
+        if level != len(channel_mult) - 1:
+            unet[f"downsample_{level}"] = {"op": _conv3(sd, f"input_blocks.{idx}.0.op")}
+            idx += 1
+            ds *= 2
+
+    unet["mid_res_0"] = res_params("middle_block.0")
+    unet["mid_attn"] = attn_params("middle_block.1")
+    unet["mid_res_1"] = res_params("middle_block.2")
+
+    idx = 0
+    for level in reversed(range(len(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            unet[f"up_{level}_{i}"] = res_params(f"output_blocks.{idx}.0")
+            pos = 1
+            if ds in attn_res:
+                unet[f"up_attn_{level}_{i}"] = attn_params(f"output_blocks.{idx}.{pos}")
+                pos += 1
+            if level and i == num_res_blocks:
+                unet[f"upsample_{level}"] = {
+                    "conv": _conv3(sd, f"output_blocks.{idx}.{pos}.conv")
+                }
+                ds //= 2
+            idx += 1
+
+    return {"params": {"unet": unet}}
+
+
+def convert_reference_checkpoints(ae_pt: str = "", model_pt: str = "", out_dir: str = "."):
+    """CLI helper: load reference .pt files and write npz param trees."""
+    import os
+
+    import torch
+
+    from .checkpoint import save_params_npz
+
+    os.makedirs(out_dir, exist_ok=True)
+    if ae_pt:
+        ck = torch.load(ae_pt, map_location="cpu")
+        if "encoder" in ck:
+            save_params_npz(
+                os.path.join(out_dir, "ae_encoder.npz"), convert_dgcnn(ck["encoder"])
+            )
+        if "decoder" in ck:
+            save_params_npz(
+                os.path.join(out_dir, "ae_decoder.npz"), convert_cbn_decoder(ck["decoder"])
+            )
+    if model_pt:
+        sd = torch.load(model_pt, map_location="cpu")
+        save_params_npz(
+            os.path.join(out_dir, "mdm_unet.npz"), convert_mdm_unet(sd)
+        )

@@ -1,0 +1,230 @@
+"""Torch-checkpoint conversion tests.
+
+Structure parity (converted trees must match flax init trees exactly) for all
+three models, plus numerical parity for the CBN decoder against a plain-torch
+oracle evaluated in eval mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from surfd_tpu.models import MDM, CbnDecoder, CoordsEncoder, Dgcnn
+from surfd_tpu.utils.torch_convert import (
+    convert_cbn_decoder,
+    convert_dgcnn,
+    convert_mdm_unet,
+)
+
+
+def _tree_shapes(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_tree_shapes(v, path))
+        else:
+            out[path] = tuple(np.shape(v))
+    return out
+
+
+def _rand_sd(shapes):
+    g = torch.Generator().manual_seed(0)
+    return {k: torch.randn(*s, generator=g) for k, s in shapes.items()}
+
+
+def _make_torch_cbn_sd(in_dim=63, latent=16, hidden=64, layers=2):
+    shapes = {
+        "decoder.fc_p.weight": (hidden, in_dim, 1),
+        "decoder.fc_p.bias": (hidden,),
+        "decoder.fc_out.weight": (1, hidden, 1),
+        "decoder.fc_out.bias": (1,),
+    }
+    def cbn(prefix, f):
+        shapes[f"{prefix}.conv_gamma.weight"] = (f, latent, 1)
+        shapes[f"{prefix}.conv_gamma.bias"] = (f,)
+        shapes[f"{prefix}.conv_beta.weight"] = (f, latent, 1)
+        shapes[f"{prefix}.conv_beta.bias"] = (f,)
+        shapes[f"{prefix}.bn.running_mean"] = (f,)
+        shapes[f"{prefix}.bn.running_var"] = (f,)
+    for i in range(layers):
+        cbn(f"decoder.blocks.{i}.bn_0", hidden)
+        cbn(f"decoder.blocks.{i}.bn_1", hidden)
+        shapes[f"decoder.blocks.{i}.fc_0.weight"] = (hidden, hidden, 1)
+        shapes[f"decoder.blocks.{i}.fc_0.bias"] = (hidden,)
+        shapes[f"decoder.blocks.{i}.fc_1.weight"] = (hidden, hidden, 1)
+        shapes[f"decoder.blocks.{i}.fc_1.bias"] = (hidden,)
+    sd = _rand_sd(shapes)
+    # variances must be positive
+    for k in list(sd):
+        if k.endswith("running_var"):
+            sd[k] = sd[k].abs() + 0.5
+    return sd
+
+
+def _torch_cbn_forward(sd, coords_emb, latent, layers=2, eps=1e-5):
+    """Plain-torch oracle for the reference CbnDecoder in eval mode
+    (cbndec.py:35-47,68-82,99-103)."""
+    def conv1(prefix, x):  # x: (B, C, N)
+        w = sd[f"{prefix}.weight"][:, :, 0]
+        return torch.einsum("oc,bcn->bon", w, x) + sd[f"{prefix}.bias"][None, :, None]
+
+    def cbn(prefix, x, c):
+        gamma = conv1(f"{prefix}.conv_gamma", c)
+        beta = conv1(f"{prefix}.conv_beta", c)
+        mean = sd[f"{prefix}.bn.running_mean"][None, :, None]
+        var = sd[f"{prefix}.bn.running_var"][None, :, None]
+        return gamma * (x - mean) / torch.sqrt(var + eps) + beta
+
+    p = coords_emb.transpose(1, 2)  # (B, C, N)
+    c = latent.transpose(1, 2)
+    net = conv1("decoder.fc_p", p)
+    for i in range(layers):
+        b = f"decoder.blocks.{i}"
+        h = conv1(f"{b}.fc_0", torch.relu(cbn(f"{b}.bn_0", net, c)))
+        dx = conv1(f"{b}.fc_1", torch.relu(cbn(f"{b}.bn_1", h, c)))
+        net = net + dx
+    out = conv1("decoder.fc_out", torch.relu(cbn("decoder.bn", net, c)))
+    return out[:, 0, :]
+
+
+def test_cbn_decoder_conversion_numerical_parity():
+    sd = _make_torch_cbn_sd()
+
+    # reference layout also includes the final CBN ("decoder.bn")
+    def cbn_shapes(prefix, f, latent=16):
+        return {
+            f"{prefix}.conv_gamma.weight": (f, latent, 1),
+            f"{prefix}.conv_gamma.bias": (f,),
+            f"{prefix}.conv_beta.weight": (f, latent, 1),
+            f"{prefix}.conv_beta.bias": (f,),
+            f"{prefix}.bn.running_mean": (f,),
+            f"{prefix}.bn.running_var": (f,),
+        }
+    extra = _rand_sd(cbn_shapes("decoder.bn", 64))
+    extra["decoder.bn.bn.running_var"] = extra["decoder.bn.bn.running_var"].abs() + 0.5
+    sd.update(extra)
+
+    variables = convert_cbn_decoder(sd, num_hidden_layers=2)
+    decoder = CbnDecoder(latent_dim=16, hidden_dim=64, num_hidden_layers=2)
+    ce = CoordsEncoder()
+
+    coords = np.random.default_rng(0).uniform(-1, 1, (2, 50, 3)).astype(np.float32)
+    latent = np.random.default_rng(1).normal(size=(2, 16)).astype(np.float32)
+    emb = np.asarray(ce.encode(jnp.asarray(coords)))
+
+    ours = decoder.apply(
+        jax.tree.map(jnp.asarray, variables), jnp.asarray(emb), jnp.asarray(latent)
+    )
+    lat_rep = torch.from_numpy(latent)[:, None, :].repeat(1, 50, 1)
+    ref = _torch_cbn_forward(sd, torch.from_numpy(emb), lat_rep)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=2e-4, atol=1e-3)
+
+    # structure parity with flax init
+    init = decoder.init(
+        jax.random.PRNGKey(0), jnp.asarray(emb), jnp.asarray(latent)
+    )
+    assert _tree_shapes(variables) == _tree_shapes(jax.tree.map(np.asarray, init))
+
+
+def test_dgcnn_conversion_structure():
+    shapes = {
+        "conv_1.weight": (64, 6), "conv_2.weight": (64, 128),
+        "conv_3.weight": (128, 128), "conv_4.weight": (256, 256),
+        "conv_5.weight": (32, 512),
+    }
+    for i, f in zip(range(1, 6), (64, 64, 128, 256, 32)):
+        shapes[f"bn_{i}.weight"] = (f,)
+        shapes[f"bn_{i}.bias"] = (f,)
+        shapes[f"bn_{i}.running_mean"] = (f,)
+        shapes[f"bn_{i}.running_var"] = (f,)
+    sd = _rand_sd(shapes)
+    for k in list(sd):
+        if k.endswith("running_var"):
+            sd[k] = sd[k].abs() + 0.5
+    variables = convert_dgcnn(sd)
+    enc = Dgcnn(size_latent=32)
+    init = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)))
+    assert _tree_shapes(variables) == _tree_shapes(jax.tree.map(np.asarray, init))
+    # converted weights must actually run
+    out = enc.apply(jax.tree.map(jnp.asarray, variables), jnp.zeros((1, 64, 3)))
+    assert out.shape == (1, 32)
+
+
+def test_mdm_unet_conversion_structure():
+    # build a torch state_dict with the reference's sequential numbering by
+    # instantiating our flax model and inverting the conversion layout
+    mdm = MDM(cond_mode="sketch", model_channels=32, channel_mult=(1, 2), num_res_blocks=1)
+    x = jnp.zeros((1, 32, 1))
+    init = mdm.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
+                    context=jnp.zeros((1, 512)))
+    want = _tree_shapes(jax.tree.map(np.asarray, init["params"]))
+
+    # synthesize the torch dict
+    sd = {}
+    def put_dense(prefix, path):
+        sd[f"{prefix}.weight"] = torch.randn(*reversed(want[f"{path}/kernel"]))
+        if f"{path}/bias" in want:
+            sd[f"{prefix}.bias"] = torch.randn(*want[f"{path}/bias"])
+    def put_conv3(prefix, path):
+        k = want[f"{path}/kernel"]  # (3, in, out)
+        sd[f"{prefix}.weight"] = torch.randn(k[2], k[1], k[0])
+        sd[f"{prefix}.bias"] = torch.randn(*want[f"{path}/bias"])
+    def put_conv1(prefix, path):
+        k = want[f"{path}/kernel"]  # (1, in, out)
+        sd[f"{prefix}.weight"] = torch.randn(k[2], k[1], k[0])
+        if f"{path}/bias" in want:
+            sd[f"{prefix}.bias"] = torch.randn(*want[f"{path}/bias"])
+    def put_gn(prefix, path):
+        sd[f"{prefix}.weight"] = torch.randn(*want[f"{path}/GroupNorm_0/scale"])
+        sd[f"{prefix}.bias"] = torch.randn(*want[f"{path}/GroupNorm_0/bias"])
+    def put_res(prefix, path):
+        put_gn(f"{prefix}.in_layers.0", f"{path}/GroupNorm32_0")
+        put_conv3(f"{prefix}.in_layers.2", f"{path}/in_conv")
+        put_dense(f"{prefix}.emb_layers.1", f"{path}/emb_proj")
+        put_gn(f"{prefix}.out_layers.0", f"{path}/GroupNorm32_1")
+        put_conv3(f"{prefix}.out_layers.3", f"{path}/out_conv")
+        if f"{path}/skip/kernel" in want:
+            put_conv1(f"{prefix}.skip_connection", f"{path}/skip")
+    def put_attn(prefix, path):
+        put_gn(f"{prefix}.norm", f"{path}/GroupNorm32_0")
+        put_conv1(f"{prefix}.qkv", f"{path}/qkv")
+        put_conv1(f"{prefix}.proj_out", f"{path}/proj_out")
+
+    put_dense("time_embed.0", "unet/time_embed_0")
+    put_dense("time_embed.2", "unet/time_embed_2")
+    put_dense("sketch_emb", "unet/context_proj")
+    put_conv3("input_blocks.0.0", "unet/in_conv")
+    put_res("input_blocks.1.0", "unet/down_0_0")
+    put_attn("input_blocks.1.1", "unet/down_attn_0_0")
+    put_conv3("input_blocks.2.0.op", "unet/downsample_0/op")
+    put_res("input_blocks.3.0", "unet/down_1_0")
+    put_attn("input_blocks.3.1", "unet/down_attn_1_0")
+    put_res("middle_block.0", "unet/mid_res_0")
+    put_attn("middle_block.1", "unet/mid_attn")
+    put_res("middle_block.2", "unet/mid_res_1")
+    # output blocks: level 1 (i=0,1 with upsample at i=1), level 0 (i=0,1)
+    put_res("output_blocks.0.0", "unet/up_1_0")
+    put_attn("output_blocks.0.1", "unet/up_attn_1_0")
+    put_res("output_blocks.1.0", "unet/up_1_1")
+    put_attn("output_blocks.1.1", "unet/up_attn_1_1")
+    put_conv3("output_blocks.1.2.conv", "unet/upsample_1/conv")
+    put_res("output_blocks.2.0", "unet/up_0_0")
+    put_attn("output_blocks.2.1", "unet/up_attn_0_0")
+    put_res("output_blocks.3.0", "unet/up_0_1")
+    put_attn("output_blocks.3.1", "unet/up_attn_0_1")
+    put_gn("out.0", "unet/GroupNorm32_0")
+    put_conv3("out.2", "unet/out_conv")
+
+    converted = convert_mdm_unet(sd, model_channels=32, channel_mult=(1, 2), num_res_blocks=1)
+    got = _tree_shapes(converted["params"])
+    assert got == want
+    # and the converted params run through the model
+    out = mdm.apply(
+        {"params": jax.tree.map(jnp.asarray, converted["params"])},
+        x, jnp.zeros((1,), jnp.int32), context=jnp.zeros((1, 512)),
+    )
+    assert out.shape == (1, 32, 1)
