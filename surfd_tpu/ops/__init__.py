@@ -1,0 +1,8 @@
+from .decoder_kernel import (
+    FoldedDecoder,
+    fold_decoder,
+    folded_udf,
+    make_fused_udf_fn,
+    pallas_folded_udf,
+    posenc_f32,
+)
