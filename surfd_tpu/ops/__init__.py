@@ -6,3 +6,4 @@ from .decoder_kernel import (
     pallas_folded_udf,
     posenc_f32,
 )
+from .attention_kernel import fused_qkv_attention, pallas_qkv_attention

@@ -16,7 +16,7 @@ ENV = dict(
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, timeout=600):
+def _run(args, timeout=1200):
     return subprocess.run(
         [sys.executable, "-m"] + args,
         cwd=REPO, env=ENV, capture_output=True, text=True, timeout=timeout,

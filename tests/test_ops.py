@@ -64,3 +64,13 @@ def test_fused_udf_fn_contract(decoder_setup):
     _, vjp = jax.vjp(flax_udf, pts)
     (g_ref,) = vjp(jnp.ones(pts.shape[0]))
     np.testing.assert_allclose(g, np.asarray(g_ref), atol=1e-4)
+
+
+def test_pallas_attention_matches_xla_interpret():
+    from surfd_tpu.models.layers import qkv_attention
+    from surfd_tpu.ops.attention_kernel import pallas_qkv_attention
+
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 3 * 8 * 16))
+    ref = qkv_attention(qkv, num_heads=8)
+    out = pallas_qkv_attention(qkv, num_heads=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
