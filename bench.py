@@ -45,7 +45,7 @@ def fit_decoder_to_sphere(decoder, ce, latent, steps=1500, seed=0):
     rngn = np.random.default_rng(seed)
     dv = decoder.init(jax.random.PRNGKey(0), ce.encode(jnp.zeros((1, 64, 3))), latent)
     params, stats = dv["params"], dv["batch_stats"]
-    tx = optax.adam(1e-3)
+    tx = optax.adam(optax.cosine_decay_schedule(2e-3, steps, alpha=0.02))
     opt = tx.init(params)
 
     @jax.jit
@@ -80,7 +80,7 @@ def fit_decoder_to_sphere(decoder, ce, latent, steps=1500, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--resolution", type=int, default=512)
-    ap.add_argument("--fit-steps", type=int, default=1500)
+    ap.add_argument("--fit-steps", type=int, default=2500)
     ap.add_argument("--latent-size", type=int, default=32)
     args = ap.parse_args()
 
