@@ -66,14 +66,17 @@ inline int64_t gid_of(int x, int y, int z, int R) {
 
 void worker_active(
     const float* udf, int R, float near_thr, float avg_thr,
-    int z0, int z1, std::vector<int64_t>* out) {
+    int z0, int z1, std::vector<int64_t>* out, std::vector<int64_t>* near_out) {
   const int64_t RR = (int64_t)R * R;
   for (int x = z0; x < z1; ++x) {
-    for (int y = 0; y < R - 1; ++y) {
+    for (int y = 0; y < R; ++y) {
       const float* row = udf + x * RR + (int64_t)y * R;
-      for (int z = 0; z < R - 1; ++z) {
-        // quick reject on the min corner, then all 8 + mean gate
+      for (int z = 0; z < R; ++z) {
         if (row[z] > near_thr) continue;
+        // near vertex (same sweep collects the near-band gid list the
+        // python side needs for gradient evaluation)
+        near_out->push_back((int64_t)x * RR + (int64_t)y * R + z);
+        if (x >= R - 1 || y >= R - 1 || z >= R - 1) continue;
         float s = 0.f;
         bool ok = true;
         for (int c = 0; c < 8 && ok; ++c) {
@@ -96,32 +99,38 @@ extern "C" {
 
 void surfd_free(void* p) { std::free(p); }
 
-// Pass 1: flat active-cube ids (x*(R-1)+y)*(R-1)+z. Returns count; caller
-// frees *out_ids with surfd_free.
+// Pass 1: flat active-cube ids (x*(R-1)+y)*(R-1)+z AND near-band vertex gids
+// (both sorted ascending). Caller frees both with surfd_free. Returns the
+// active-cube count; *out_n_near receives the near-vertex count.
 int64_t surfd_mt_active_cubes(
     const float* udf, int32_t R, float near_thr, float avg_thr,
-    int64_t** out_ids) {
+    int64_t** out_ids, int64_t** out_near, int64_t* out_n_near) {
   int nt = std::max(1u, std::thread::hardware_concurrency());
   nt = std::min(nt, 16);
-  std::vector<std::vector<int64_t>> buf(nt);
+  std::vector<std::vector<int64_t>> buf(nt), nbuf(nt);
   std::vector<std::thread> threads;
-  int per = (R - 1 + nt - 1) / nt;
+  int per = (R + nt - 1) / nt;
   for (int t = 0; t < nt; ++t) {
-    int a = t * per, b = std::min((t + 1) * per, (int)R - 1);
+    int a = t * per, b = std::min((t + 1) * per, (int)R);
     if (a >= b) break;
-    threads.emplace_back(worker_active, udf, R, near_thr, avg_thr, a, b, &buf[t]);
+    threads.emplace_back(worker_active, udf, R, near_thr, avg_thr, a, b, &buf[t], &nbuf[t]);
   }
   for (auto& th : threads) th.join();
-  int64_t total = 0;
-  for (auto& v : buf) total += (int64_t)v.size();
-  int64_t* ids = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(total, 1));
-  int64_t off = 0;
-  for (auto& v : buf) {
-    std::memcpy(ids + off, v.data(), v.size() * sizeof(int64_t));
-    off += (int64_t)v.size();
-  }
-  *out_ids = ids;
-  return total;
+  auto concat = [](std::vector<std::vector<int64_t>>& parts, int64_t** out) {
+    int64_t total = 0;
+    for (auto& v : parts) total += (int64_t)v.size();
+    int64_t* arr = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(total, 1));
+    int64_t off = 0;
+    for (auto& v : parts) {
+      std::memcpy(arr + off, v.data(), v.size() * sizeof(int64_t));
+      off += (int64_t)v.size();
+    }
+    *out = arr;
+    return total;
+  };
+  int64_t n_active = concat(buf, out_ids);
+  *out_n_near = concat(nbuf, out_near);
+  return n_active;
 }
 
 // Pass 2: emit the deduped mesh.

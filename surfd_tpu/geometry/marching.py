@@ -398,7 +398,7 @@ def _marching_udf_native(
         return _time.perf_counter()
 
     t0 = _time.perf_counter()
-    cube_ids = native.mt_active_cubes(u, near_mult * voxel, avg_mult * voxel)
+    cube_ids, near_gids = native.mt_active_cubes(u, near_mult * voxel, avg_mult * voxel)
     t0 = mark("mt_pass1", t0)
     if len(cube_ids) == 0:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
@@ -409,10 +409,8 @@ def _marching_udf_native(
     cx = cube_ids // (Rm1 * Rm1)
     gids = _cube_corner_gids(np.stack([cx, cy, cz], axis=1), R)
     # Every active-cube corner is in the near band (the pass-1 gate requires
-    # it), and flatnonzero emits SORTED indices — so the near-band gid list
-    # doubles as the sorted-unique superset, replacing an np.unique sort of
-    # 8M gids with one grid sweep + searchsorted.
-    near_gids = np.flatnonzero(flat_u <= np.float32(near_mult * voxel))
+    # it) and pass 1 already emitted the sorted near-gid list in its sweep, so
+    # resolving corner gradients is one searchsorted instead of an np.unique.
     inv8 = np.searchsorted(near_gids, gids)
     t0 = mark("mt_unique", t0)
     g_near = np.asarray(grad_lookup(near_gids), np.float32)

@@ -34,7 +34,10 @@ def merge_duplicate_vertices(mesh: Mesh, decimals: int = 6) -> Mesh:
     q = np.round(mesh.vertices.astype(np.float64) * scale).astype(np.int64) + (1 << 20)
     assert q.min() >= 0 and q.max() < (1 << 21), "vertices out of packable range"
     key = (q[:, 0] << 42) | (q[:, 1] << 21) | q[:, 2]
-    _, first, inv = np.unique(key, return_index=True, return_inverse=True)
+    uniq, inv = _unique_i64(key)
+    # first occurrence of each unique key (order within sorted-unique ids)
+    first = np.zeros(len(uniq), np.int64)
+    first[inv[::-1]] = np.arange(len(key) - 1, -1, -1)
     verts = mesh.vertices[first]
     faces = inv[mesh.faces]
     return remove_degenerate_faces(Mesh(verts, faces))
@@ -60,7 +63,9 @@ def remove_duplicate_faces(mesh: Mesh) -> Mesh:
     s = np.sort(mesh.faces, axis=1)
     NV = len(mesh.vertices) + 1
     key = (s[:, 0] * NV + s[:, 1]) * NV + s[:, 2]
-    _, idx = np.unique(key, return_index=True)
+    uniq, inv = _unique_i64(key)
+    idx = np.zeros(len(uniq), np.int64)
+    idx[inv[::-1]] = np.arange(len(key) - 1, -1, -1)
     return Mesh(mesh.vertices, mesh.faces[np.sort(idx)])
 
 
@@ -125,12 +130,26 @@ def _edges_of(faces: np.ndarray) -> np.ndarray:
     return np.sort(e, axis=1)
 
 
+def _unique_i64(keys: np.ndarray):
+    """Sorted unique + inverse, via the native radix sort when available."""
+    from .. import native
+
+    if len(keys) > 100_000 and native.available():
+        return native.unique_inverse_i64(keys)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    return uniq, inv.ravel()
+
+
 def _unique_edges_with_counts(faces: np.ndarray, num_vertices: int):
     """(unique undirected edges, counts) via 1-D integer keys (fast path)."""
-    e = _edges_of(faces)
+    a = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    b = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
     NV = num_vertices + 1
-    key = e[:, 0] * NV + e[:, 1]
-    uniq, counts = np.unique(key, return_counts=True)
+    key = lo * NV + hi
+    uniq, inv = _unique_i64(key)
+    counts = np.bincount(inv, minlength=len(uniq))
     edges = np.stack([uniq // NV, uniq % NV], axis=1)
     return edges, counts
 

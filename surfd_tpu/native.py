@@ -42,7 +42,8 @@ def _load() -> ctypes.CDLL:
     lib.surfd_free.argtypes = [ctypes.c_void_p]
     lib.surfd_mt_active_cubes.restype = ctypes.c_int64
     lib.surfd_mt_active_cubes.argtypes = [
-        fp, ctypes.c_int32, ctypes.c_float, ctypes.c_float, ctypes.POINTER(i64p),
+        fp, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(i64p), ctypes.POINTER(i64p), i64p,
     ]
     lib.surfd_unique_inverse_i64.restype = ctypes.c_int64
     lib.surfd_unique_inverse_i64.argtypes = [i64p, ctypes.c_int64, ctypes.POINTER(i64p), i64p]
@@ -91,21 +92,28 @@ def closest_points(vertices: np.ndarray, triangles: np.ndarray, queries: np.ndar
     return out_d, out_c, out_t
 
 
-def mt_active_cubes(udf: np.ndarray, near_thr: float, avg_thr: float) -> np.ndarray:
-    """Flat active-cube ids for the UDF marching pass (C++, threaded)."""
+def mt_active_cubes(udf: np.ndarray, near_thr: float, avg_thr: float):
+    """(active-cube ids, sorted near-band vertex gids) in ONE grid sweep."""
     lib = _load()
     u = np.ascontiguousarray(udf, dtype=np.float32)
     R = u.shape[0]
-    out = ctypes.POINTER(ctypes.c_int64)()
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    out = i64p()
+    near = i64p()
+    n_near = ctypes.c_int64()
     n = lib.surfd_mt_active_cubes(
         u.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        R, ctypes.c_float(near_thr), ctypes.c_float(avg_thr), ctypes.byref(out),
+        R, ctypes.c_float(near_thr), ctypes.c_float(avg_thr),
+        ctypes.byref(out), ctypes.byref(near), ctypes.byref(n_near),
     )
     try:
         ids = np.ctypeslib.as_array(out, shape=(max(int(n), 1),))[: int(n)].copy()
+        nn = int(n_near.value)
+        near_ids = np.ctypeslib.as_array(near, shape=(max(nn, 1),))[:nn].copy()
     finally:
         lib.surfd_free(out)
-    return ids
+        lib.surfd_free(near)
+    return ids, near_ids
 
 
 def mt_emit(udf: np.ndarray, lo: float, spacing: float, cube_ids: np.ndarray, g8: np.ndarray):
