@@ -285,7 +285,7 @@ def get_watertight_mesh_from_udf(
         cfg.resolution, cfg.coords_range, max_batch=cfg.max_batch, max_dist=cfg.max_dist
     )
     grid = gf.fill(udf_fn)
-    mesh = marching_tetrahedra(grid.astype(np.float64), iso=iso, coords_range=cfg.coords_range)
+    mesh = marching_tetrahedra(grid, iso=iso, coords_range=cfg.coords_range)
     mesh = keep_largest_component(mesh, by_bbox=True)
     if len(mesh.vertices):
         v = mesh.vertices

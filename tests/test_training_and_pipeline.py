@@ -180,3 +180,21 @@ def test_pipeline_mesh_from_fitted_decoder():
     r = np.linalg.norm(mesh.vertices, axis=1)
     # learned decoder: loose tolerance, but it must be a sphere-ish shell
     assert abs(float(np.median(r)) - 0.6) < 0.1
+
+
+def test_watertight_pipeline_on_analytic_sphere():
+    """Watertight path: signed extraction at iso 0.01 + largest component +
+    renormalization (reference generate_image.py:150-171 semantics)."""
+    from surfd_tpu.pipelines import MeshExtractionConfig, get_watertight_mesh_from_udf
+    from surfd_tpu.geometry import boundary_vertices
+
+    def udf_fn(pts):
+        return jnp.minimum(jnp.abs(jnp.linalg.norm(pts, axis=-1) - 0.6), 0.1)
+
+    mesh = get_watertight_mesh_from_udf(
+        jax.jit(udf_fn), MeshExtractionConfig(resolution=64, max_batch=2**14)
+    )
+    assert len(mesh.faces) > 500
+    assert len(boundary_vertices(mesh)) == 0  # watertight
+    # renormalized into [-1, 1]
+    assert np.abs(mesh.vertices).max() <= 1.0 + 1e-5
