@@ -35,8 +35,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--output_dir", default="outputs")
     ap.add_argument("--watertight", action="store_true")
-    ap.add_argument("--min_component_faces", type=int, default=0)
-    ap.add_argument("--smooth_iters", type=int, default=0)
+    # pymeshlab-equivalent defaults (reference generate_uncond.py:117-122)
+    ap.add_argument("--min_component_faces", type=int, default=2500)
+    ap.add_argument("--smooth_iters", type=int, default=3)
     ap.add_argument("--max_batch", type=int, default=2**17)
     return ap
 

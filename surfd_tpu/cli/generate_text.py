@@ -27,7 +27,8 @@ def main():
     ap.add_argument("--text_prompt", required=True)
     ap.add_argument("--clip_npz", default="", help="converted CLIP weights npz")
     ap.add_argument("--context_npy", default="", help="precomputed 512-d context")
-    ap.set_defaults(latent_size=64)
+    # watertight text path removes components < 5000 faces (reference :157)
+    ap.set_defaults(latent_size=64, min_component_faces=5000)
     args = ap.parse_args()
 
     if args.context_npy:

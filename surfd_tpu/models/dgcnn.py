@@ -73,7 +73,7 @@ class Dgcnn(nn.Module):
     bn_momentum: float = 0.9  # torch BatchNorm1d default momentum 0.1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False, latent_index=None) -> jnp.ndarray:
         indices = knn_indices(x, self.k)
 
         def block(feats, width, name):
@@ -107,5 +107,11 @@ class Dgcnn(nn.Module):
         feat = nn.leaky_relu(feat, negative_slope=0.2)
 
         if self.aggregate_global == "max":
-            return feat.max(axis=1)
-        return feat.mean(axis=1)
+            feat = feat.max(axis=1)
+        else:
+            feat = feat.mean(axis=1)
+        if latent_index is not None:
+            # optional shape-index channel appended to the embedding
+            # (reference dgcnn.py:112-113)
+            feat = jnp.concatenate([feat, latent_index[:, None]], axis=-1)
+        return feat

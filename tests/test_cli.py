@@ -28,6 +28,7 @@ def test_generate_uncond_smoke(tmp_path):
     r = _run([
         "surfd_tpu.cli.generate_uncond", "--random-init",
         "--num_samples", "1", "--resolution", "48", "--model_channels", "32",
+        "--min_component_faces", "0", "--smooth_iters", "0",
         "--timestep_respacing", "ddim10",
         "--output_dir", str(tmp_path),
     ])
@@ -41,6 +42,7 @@ def test_generate_cat_smoke(tmp_path):
     r = _run([
         "surfd_tpu.cli.generate_cat", "--random-init", "--category", "dress",
         "--num_samples", "1", "--resolution", "48", "--model_channels", "32",
+        "--min_component_faces", "0", "--smooth_iters", "0",
         "--timestep_respacing", "ddim10", "--sampler", "ddim",
         "--output_dir", str(tmp_path),
     ])
