@@ -109,7 +109,7 @@ def load_decoder(args):
 
 def run_generation(args, cond_mode: str, context=None, action=None, tag: str = "sample"):
     """Sample latents and extract one mesh per sample."""
-    from ..geometry import laplacian_smooth, write_obj
+    from ..geometry import write_obj
     from ..models.mdm import make_cfg_model_fn
     from ..pipelines import (
         MeshExtractionConfig,

@@ -15,7 +15,7 @@ from ._common import base_parser, run_generation
 
 
 def encode_text_clip(prompts, clip_npz: str):
-    from ..models.clip import ClipText, load_clip_params, tokenize
+    from ..models.clip import load_clip_params, tokenize
 
     model, params = load_clip_params(clip_npz)
     tokens = tokenize(prompts)

@@ -10,7 +10,6 @@ using the in-repo C++ BVH instead of open3d.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from pathlib import Path
 

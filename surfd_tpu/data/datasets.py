@@ -14,7 +14,6 @@ jitted step wants one contiguous batch anyway.
 from __future__ import annotations
 
 import csv
-import json
 import os
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence

@@ -14,7 +14,7 @@ Per mesh (defaults match preprocess_udfs.py:128-136 + utils.py:272-273):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 import numpy as np

@@ -35,7 +35,7 @@ it a few vectorized passes.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 

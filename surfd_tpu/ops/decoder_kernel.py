@@ -23,7 +23,6 @@ at frequency 2⁹ needs full input precision).
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple
 
 import jax

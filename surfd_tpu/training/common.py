@@ -9,7 +9,7 @@ used inside the model where requested, which needs no NaN backoff.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

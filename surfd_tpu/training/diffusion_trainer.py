@@ -16,9 +16,8 @@ Re-design of the reference `TrainLoop`
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from dataclasses import dataclass
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -148,7 +147,6 @@ class DiffusionTrainer:
         self.sched = sched
         self.state = state
         self.data_iter = data_iter
-        self.tx = None  # owned by the step closure
         self.schedule_sampler = schedule_sampler or create_named_schedule_sampler(
             cfg.schedule_sampler, sched.num_timesteps
         )
