@@ -18,18 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chamfer_distance(a: np.ndarray, b: np.ndarray, chunk: int = 4096) -> float:
-    """Symmetric Chamfer (mean of squared nearest-neighbor distances)."""
-    def one_sided(x, y):
-        mins = []
-        for i in range(0, len(x), chunk):
-            d = ((x[i : i + chunk, None, :] - y[None, :, :]) ** 2).sum(-1)
-            mins.append(d.min(axis=1))
-        return float(np.concatenate(mins).mean())
-
-    return one_sided(a, b) + one_sided(b, a)
-
-
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data_root", required=True)
@@ -47,7 +35,7 @@ def main():
     from ..data import UdfDataset
     from ..data.datasets import random_point_sampling
     from ..data.preprocess import sample_points_on_mesh
-    from ..geometry import write_obj
+    from ..geometry import chamfer_distance, write_obj
     from ..models import CbnDecoder, CoordsEncoder, Dgcnn
     from ..pipelines import (
         MeshExtractionConfig,

@@ -16,3 +16,4 @@ from .mesh_ops import (
     stabilize,
     vertex_normals,
 )
+from .metrics import chamfer_distance, f_score, hausdorff_distance

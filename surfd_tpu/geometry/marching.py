@@ -28,9 +28,11 @@ which the final gradient-orientation pass fixes. Cubes are processed only
 where all 8 corners are near the surface, mirroring the reference's
 avg/max-distance gate (_cy.pyx:1157-1158, 1215-1218).
 
-All functions are numpy (host-side): extraction is a cheap, memory-bound
-postlude to the TPU-side grid evaluation, and the flat-array formulation keeps
-it a few vectorized passes.
+The numpy implementation is the reference; `use_native=True` (default when
+the C++ library builds) routes the UDF variant through native/marching.cpp —
+the same algorithm with radix-sort dedup and in-emit orientation, engineered
+for the serial host. Gradients are consumed lazily (dense array or a
+`grad_at(points)` callable evaluated only at the grid nodes touched).
 """
 
 from __future__ import annotations

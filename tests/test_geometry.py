@@ -242,3 +242,16 @@ def test_native_mt_matches_numpy():
     np.testing.assert_allclose(
         np.stack([a["x"], a["y"], a["z"]]), np.stack([b["x"], b["y"], b["z"]]), atol=2e-2
     )
+
+
+def test_metrics_on_known_sets():
+    from surfd_tpu.geometry import chamfer_distance, f_score, hausdorff_distance
+
+    a = np.zeros((100, 3), np.float32)
+    b = np.zeros((100, 3), np.float32)
+    assert chamfer_distance(a, b) == 0.0
+    assert f_score(a, b, 0.01) == 1.0
+    c = b + np.array([0.5, 0, 0], np.float32)
+    assert chamfer_distance(a, c) == pytest.approx(0.5, rel=1e-5)  # 2 * 0.25
+    assert hausdorff_distance(a, c) == pytest.approx(0.5, rel=1e-5)
+    assert f_score(a, c, 0.01) == 0.0
