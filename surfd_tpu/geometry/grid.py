@@ -189,6 +189,57 @@ def _get_block_fn(udf_fn, B: int, spacing: float, lo: float):
     return fnobj
 
 
+def _get_subcenter_fn(udf_fn, B: int, B2: int, spacing: float, lo: float):
+    """Block-index → UDF at the centers of its (B/B2)³ sub-blocks.
+
+    Cached like _get_block_fn so re-bound latents reuse the executable.
+    """
+    stable = getattr(udf_fn, "stable", None)
+    holder = stable[0] if stable is not None else udf_fn
+    cache = getattr(holder, "_subcenter_fn_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            holder._subcenter_fn_cache = cache
+        except AttributeError:
+            pass
+    key = (B, B2, round(float(spacing), 12), round(float(lo), 12))
+    base = cache.get(key)
+    if base is None:
+        n_sub = B // B2
+        rng = np.arange(n_sub)
+        # sub-block center in vertex-index units: offset + (B2-1)/2
+        off = (
+            np.stack(np.meshgrid(rng, rng, rng, indexing="ij"), axis=-1).reshape(-1, 3)
+            * B2
+            + (B2 - 1) / 2.0
+        ).astype(np.float32)
+        off_dev = jnp.asarray(off)
+        sp = jnp.float32(spacing)
+        lo_ = jnp.float32(lo)
+
+        def gen_centers(ab_chunk):
+            vidx = ab_chunk[:, None, :].astype(jnp.float32) * B + off_dev[None]
+            return vidx.reshape(-1, 3) * sp + lo_
+
+        if stable is not None:
+            base_fn = stable[0]
+
+            def base(a, ab_chunk):
+                return base_fn(a, gen_centers(ab_chunk))
+
+        else:
+
+            def base(_, ab_chunk):
+                return udf_fn(gen_centers(ab_chunk))
+
+        cache[key] = base
+    args = stable[1] if stable is not None else ()
+    fnobj = lambda ab_chunk: base(args, ab_chunk)
+    fnobj.stable = (base, args)
+    return fnobj
+
+
 def auto_block_size(
     resolution: int, spacing: float, max_dist: float, band_mult: float = 2.5
 ) -> int:
@@ -239,6 +290,9 @@ class GridFiller:
         self.nb = resolution // block
         half_diag = 0.5 * math.sqrt(3.0) * block * self.spacing
         self.threshold = half_diag + band_mult * self.spacing
+        # intermediate refinement level (0 disables): largest divisor of block
+        # that is ≤ block/4, so the sub-level meaningfully tightens the shell
+        self.sub_block = block // 4 if block >= 8 else 0
 
         xs = np.linspace(self.lo, self.hi, resolution, dtype=np.float32)
         self._xs = xs
@@ -266,13 +320,27 @@ class GridFiller:
         coarse = eval_in_chunks(udf_fn, self._block_centers, min(self.max_batch, nb**3))
         coarse = coarse.reshape(nb, nb, nb)
         active = coarse < self.threshold  # (nb, nb, nb)
+        ab = np.argwhere(active)  # (M, 3) active block coords
 
-        # Inactive blocks provably contain no near-band vertex (soundness of
-        # the activity test), so their values only need to stay above the
-        # near threshold — max_dist does, no coarse broadcast required.
+        # Optional intermediate level: refine active B-blocks into B2-sub-
+        # blocks by testing sub-block centers (the same triangle-inequality
+        # soundness argument holds per level). This cuts the fine-pass volume
+        # several-fold — the B-level shell is much thicker than the near band.
+        B2 = self.sub_block
+        if B2 and len(ab) > 0:
+            n_sub = B // B2
+            sub_thr = 0.5 * math.sqrt(3.0) * B2 * self.spacing + self.band_mult * self.spacing
+            centers_fn = _get_subcenter_fn(udf_fn, B, B2, self.spacing, self.lo)
+            sub_vals = eval_in_chunks(
+                centers_fn, ab.astype(np.int32), max(self.max_batch // n_sub**3, 1)
+            ).reshape(len(ab), n_sub, n_sub, n_sub)
+            # sub-block coords in B2 units
+            sub_idx = np.argwhere(sub_vals < sub_thr)
+            ab = ab[sub_idx[:, 0]] * n_sub + sub_idx[:, 1:]
+            B = B2
+
         grid = np.full((N, N, N), self.max_dist, dtype=np.float32)
 
-        ab = np.argwhere(active)  # (M, 3) active block coords
         if len(ab) > 0:
             # Vertex coordinates are GENERATED on device from the (tiny)
             # active-block index list — the only upload is M×3 int32.
@@ -294,9 +362,9 @@ class GridFiller:
 
         if return_stats:
             stats = {
-                "active_blocks": int(active.sum()),
-                "total_blocks": int(nb**3),
-                "fine_points": int(active.sum()) * B**3,
+                "active_blocks": len(ab),
+                "total_blocks": int((N // B) ** 3),
+                "fine_points": len(ab) * B**3,
                 "dense_points": N**3,
             }
             return grid, stats

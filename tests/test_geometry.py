@@ -255,3 +255,19 @@ def test_metrics_on_known_sets():
     assert chamfer_distance(a, c) == pytest.approx(0.5, rel=1e-5)  # 2 * 0.25
     assert hausdorff_distance(a, c) == pytest.approx(0.5, rel=1e-5)
     assert f_score(a, c, 0.01) == 0.0
+
+
+def test_grid_filler_hierarchical_matches_dense():
+    """Two-level (block → sub-block) refinement must stay exact in the band."""
+    gf = GridFiller(resolution=128, block=8, max_batch=2**14)
+    assert gf.sub_block == 2  # the intermediate level engages
+    grid, stats = gf.fill(jax.jit(_sphere_udf_fn), return_stats=True)
+    dense = fill_grid_dense(jax.jit(_sphere_udf_fn), 128, max_batch=2**14)
+    band = dense < 2.5 * gf.spacing
+    assert band.sum() > 0
+    np.testing.assert_allclose(grid[band], dense[band], atol=1e-6)
+    # the sub-level must beat the single-level volume substantially
+    single = GridFiller(resolution=128, block=8, max_batch=2**14)
+    single.sub_block = 0
+    _, s1 = single.fill(jax.jit(_sphere_udf_fn), return_stats=True)
+    assert stats["fine_points"] < 0.6 * s1["fine_points"]
