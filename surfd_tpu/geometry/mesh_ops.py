@@ -214,14 +214,27 @@ def smooth_borders(mesh: Mesh, iterations: int = 20, lam: float = 0.3) -> Mesh:
     border = np.unique(be)
     if len(border) == 0:
         return mesh
-    is_border = np.zeros(len(mesh.vertices), bool)
-    is_border[border] = True
-    v = mesh.vertices.astype(np.float64)
-    both = np.concatenate([be, be[:, ::-1]], axis=0)
+    # Iterate over COMPACT border-only arrays: the border is typically <5% of
+    # vertices, and the full-size per-iteration bincounts dominate otherwise.
+    remap = np.full(len(mesh.vertices), -1, np.int64)
+    remap[border] = np.arange(len(border))
+    ce = remap[be]  # compact edge ids
+    both = np.concatenate([ce, ce[:, ::-1]], axis=0)
+    bv = mesh.vertices[border].astype(np.float64)
+    nb = len(border)
+    cnt = np.bincount(both[:, 0], minlength=nb).astype(np.float64)
+    has = cnt > 0
+    denom = np.maximum(cnt, 1)[:, None]
     for _ in range(iterations):
-        mean, _ = _neighbor_mean(v, both)
-        v[is_border] = v[is_border] + lam * (mean[is_border] - v[is_border])
-    return Mesh(v.astype(np.float32), mesh.faces)
+        acc = np.stack(
+            [np.bincount(both[:, 0], weights=bv[both[:, 1], k], minlength=nb) for k in range(3)],
+            axis=1,
+        )
+        mean = np.where(has[:, None], acc / denom, bv)
+        bv = bv + lam * (mean - bv)
+    v = mesh.vertices.copy()
+    v[border] = bv.astype(np.float32)
+    return Mesh(v, mesh.faces)
 
 
 def fill_triangle_holes(mesh: Mesh) -> Mesh:
@@ -268,10 +281,21 @@ def fill_triangle_holes(mesh: Mesh) -> Mesh:
     return Mesh(mesh.vertices, np.concatenate([mesh.faces, new_faces], axis=0))
 
 
-def stabilize(mesh: Mesh, max_rounds: int = 3) -> Mesh:
+def stabilize(mesh: Mesh, max_rounds: int = 3, assume_clean: bool = False) -> Mesh:
     """Repeat dedup/degenerate-removal/hole-fill until stable
-    (the reference's repeat-until-stable loop, meshudf.py:381-402)."""
+    (the reference's repeat-until-stable loop, meshudf.py:381-402).
+
+    assume_clean: the input has no duplicate vertices/faces (true for
+    marching-tetrahedra output, whose vertices are keyed by unique grid
+    edges) — start with hole filling and dedup only if faces were added.
+    """
     prev = (-1, -1)
+    if assume_clean:
+        n0 = len(mesh.faces)
+        mesh = fill_triangle_holes(mesh)
+        if len(mesh.faces) == n0:
+            return mesh
+        max_rounds -= 1
     for _ in range(max_rounds):
         n0 = (len(mesh.vertices), len(mesh.faces))
         mesh = merge_duplicate_vertices(mesh)

@@ -254,7 +254,8 @@ def get_mesh_from_udf(
 
     t0 = time.perf_counter()
     if cfg.do_stabilize:
-        mesh = stabilize(mesh)
+        # MT output is duplicate-free by construction (unique edge keys)
+        mesh = stabilize(mesh, assume_clean=True)
     if cfg.do_smooth_borders:
         mesh = smooth_borders(mesh, iterations=20, lam=0.3)
     if cfg.final_laplacian_iters:
