@@ -14,11 +14,14 @@ partitioned into fixed-size blocks:
      fixed-capacity chunks (padding to the chunk size keeps a single compiled
      executable regardless of how many blocks are active).
 
-Inactive blocks are filled with the coarse center value (the reference
-broadcasts coarse values the same way, meshudf.py:191-194). A separate
-gradient pass evaluates ∂udf/∂xyz only in the near-surface band
-(reference threshold 2.5·voxel, meshudf.py:199-206) using forward-mode JAX
-differentiation of the decoder — no double-backward autograd graph.
+An optional sub-block level refines active blocks by the same center test at
+B/4 granularity (the reference's multi-level refinement, without dynamic
+shapes); each level's activity test is provably sound by the triangle
+inequality (see `auto_block_size`). Inactive regions take max_dist — no
+near-band vertex can live there, so the extraction gates never read them.
+Gradients are evaluated lazily by the marching step via a batched VJP
+(`make_grad_fn`) — no dense gradient grid and no double-backward autograd
+graph (reference meshudf.py:199-206, 231-251).
 """
 
 from __future__ import annotations

@@ -384,11 +384,12 @@ def marching_tetrahedra_udf(
 def _marching_udf_native(
     u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult, times=None
 ) -> Mesh:
-    """Native (C++) marching path: same algorithm, threaded host loops.
+    """Native (C++) marching path: same algorithm, serial-host engineered.
 
-    Pass 1 finds active cubes, python resolves int8 unit gradients at their
-    distinct corners (on device when grad_lookup is lazy), pass 2 emits the
-    deduped mesh; orientation stays in numpy (shared with the pure path).
+    Pass 1 finds active cubes and the sorted near-band gid list in one sweep;
+    python resolves int8 unit gradients at those gids (on device when
+    grad_lookup is lazy); pass 2 emits the radix-deduped mesh with triangle
+    winding decided in-loop from the per-cube pseudo-signed gradients.
     """
     import time as _time
 
