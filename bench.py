@@ -130,14 +130,17 @@ def main():
     t_sample = time.perf_counter() - t0
 
     t_mesh = float("inf")
+    runs = []
     for _ in range(3):
         t1 = time.perf_counter()
         mesh, stats_i = get_mesh_from_udf(udf_fn, cfg=cfg, return_stats=True)
         dt = time.perf_counter() - t1
+        runs.append(dt)
         log(f"extraction run: {dt:.2f}s  {stats_i['times']}")
         if dt < t_mesh:
             t_mesh, stats = dt, stats_i
     total = t_sample + t_mesh
+    median_total = t_sample + float(np.median(runs))
 
     log(f"phase times: {stats['times']}")
     log(
@@ -158,6 +161,7 @@ def main():
                 "value": round(total, 3),
                 "unit": "s",
                 "vs_baseline": round(5.0 / total, 3),
+                "median_s": round(median_total, 3),
             }
         )
     )

@@ -1,0 +1,298 @@
+// Native mesh post-processing: face-filter prep + fused finalize.
+//
+// C++ twin of the host side of surfd_tpu/pipelines/generate.py
+// (filter_faces_by_udf) and surfd_tpu/geometry/mesh_ops.py (stabilize /
+// smooth_borders / merge_duplicate_vertices) — the reference's false-face
+// filter + trimesh/scipy cleanup chain (/root/reference/meshudf/meshudf.py:
+// 356-434). The numpy implementations are the semantic oracle; this module
+// fuses them into two calls so the single-core host walks the mesh O(1)
+// times instead of once per op:
+//
+//   prep      surfd_face_filter_prep(verts, faces)
+//             → [verts; unique-edge midpoints] query points + per-face edge ids
+//   (python evaluates the below-threshold mask on the TPU)
+//   finalize  surfd_finalize_mesh(verts, faces, ok, einv, ...)
+//             → keep-filter → vertex remap → 3-edge hole fill →
+//               border smoothing (Jacobi, λ, n iters) → 1e-6 vertex merge
+//
+// Hole-fill equivalence argument (vs mesh_ops.stabilize's repeat-until-stable
+// loop): adding a hole triangle only CONSUMES border edges (its three edges
+// existed and move from count 1 to 2) and never creates new edges, so the set
+// of candidate 3-cycles can only shrink between rounds — every candidate of
+// round k+1 was already a candidate of round 1. One pass therefore finds
+// everything, except the numpy loop's lone-triangle oscillation (a detached
+// triangle re-adds itself as its own "hole" and remove_duplicate_faces drops
+// it again): detected here directly by skipping candidates whose three border
+// edges belong to one face.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#include "radix.h"
+
+namespace {
+
+// Unique undirected edges of a face soup via one radix sort.
+// keys[slot] = lo*(V+1)+hi for slot = f*3+k. Fills:
+//   einv[slot]  -> unique edge id
+//   edges       -> (a, b) per unique edge (a < b), ascending key order
+//   counts      -> faces per edge
+//   owner       -> face id of ONE face using the edge (the last in sort order)
+void unique_edges(const int64_t* faces, int64_t F, int64_t V,
+                  int64_t* einv, std::vector<int64_t>& ea,
+                  std::vector<int64_t>& eb, std::vector<int32_t>& counts,
+                  std::vector<int64_t>& owner) {
+  const uint64_t NV = (uint64_t)V + 1;
+  std::vector<surfd::KV> kv((size_t)F * 3);
+  for (int64_t f = 0; f < F; ++f) {
+    const int64_t* tri = faces + f * 3;
+    for (int k = 0; k < 3; ++k) {
+      int64_t a = tri[k], b = tri[(k + 1) % 3];
+      if (a > b) std::swap(a, b);
+      kv[f * 3 + k] = {(uint64_t)a * NV + (uint64_t)b, f * 3 + k};
+    }
+  }
+  surfd::radix_sort_kv(kv, NV * NV);
+  int64_t eid = -1;
+  uint64_t prev = UINT64_MAX;
+  for (auto& p : kv) {
+    if (p.key != prev || eid < 0) {
+      prev = p.key;
+      ++eid;
+      ea.push_back((int64_t)(p.key / NV));
+      eb.push_back((int64_t)(p.key % NV));
+      counts.push_back(0);
+      owner.push_back(p.val / 3);
+    }
+    ++counts[eid];
+    owner[eid] = p.val / 3;
+    einv[p.val] = eid;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Query points + per-face edge ids for the false-face filter.
+// verts (V,3) f32, faces (F,3) i64.
+// *out_pts   (V+E, 3) f32 — vertices then unique-edge midpoints (malloc'd)
+// *out_einv  (F, 3) i64   — unique edge id per face edge (malloc'd)
+// Returns E.
+int64_t surfd_face_filter_prep(
+    const float* verts, int64_t V, const int64_t* faces, int64_t F,
+    float** out_pts, int64_t** out_einv) {
+  int64_t* einv = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(F * 3, 1));
+  std::vector<int64_t> ea, eb, owner;
+  std::vector<int32_t> counts;
+  ea.reserve(F * 2);
+  eb.reserve(F * 2);
+  unique_edges(faces, F, V, einv, ea, eb, counts, owner);
+  const int64_t E = (int64_t)ea.size();
+  float* pts = (float*)std::malloc(sizeof(float) * 3 * std::max<int64_t>(V + E, 1));
+  std::memcpy(pts, verts, sizeof(float) * 3 * V);
+  for (int64_t e = 0; e < E; ++e) {
+    const float* pa = verts + ea[e] * 3;
+    const float* pb = verts + eb[e] * 3;
+    pts[(V + e) * 3 + 0] = 0.5f * (pa[0] + pb[0]);
+    pts[(V + e) * 3 + 1] = 0.5f * (pa[1] + pb[1]);
+    pts[(V + e) * 3 + 2] = 0.5f * (pa[2] + pb[2]);
+  }
+  *out_pts = pts;
+  *out_einv = einv;
+  return E;
+}
+
+// Fused keep-filter + cleanup. ok is the (V+E,) uint8 below-threshold mask
+// over the prep points; einv the (F,3) edge ids from prep. fill_holes,
+// smooth_iters/lam and merge_decimals (0 disables) correspond to
+// mesh_ops.stabilize / smooth_borders / merge_duplicate_vertices.
+void surfd_finalize_mesh(
+    const float* verts, int64_t V, const int64_t* faces, int64_t F,
+    const uint8_t* ok, const int64_t* einv,
+    int32_t fill_holes, int32_t smooth_iters, float lam, int32_t merge_decimals,
+    float** out_verts, int64_t* out_nv, int64_t** out_faces, int64_t* out_nf) {
+  // --- 1. keep mask: all 3 vertices and all 3 edge midpoints below ---
+  std::vector<int64_t> kept;
+  kept.reserve(F);
+  for (int64_t f = 0; f < F; ++f) {
+    const int64_t* tri = faces + f * 3;
+    if (ok[tri[0]] && ok[tri[1]] && ok[tri[2]] &&
+        ok[V + einv[f * 3]] && ok[V + einv[f * 3 + 1]] && ok[V + einv[f * 3 + 2]])
+      kept.push_back(f);
+  }
+
+  // --- 2. remap vertices (drop unreferenced; new ids ascend with old) ---
+  std::vector<int64_t> remap((size_t)V, -1);
+  for (int64_t f : kept)
+    for (int k = 0; k < 3; ++k) remap[faces[f * 3 + k]] = 0;
+  int64_t V2 = 0;
+  for (int64_t v = 0; v < V; ++v)
+    if (remap[v] == 0) remap[v] = V2++;
+    else remap[v] = -1;
+  std::vector<float> v2((size_t)V2 * 3);
+  for (int64_t v = 0; v < V; ++v)
+    if (remap[v] >= 0) std::memcpy(&v2[remap[v] * 3], verts + v * 3, 12);
+  std::vector<int64_t> f2;
+  f2.reserve(kept.size() * 3);
+  for (int64_t f : kept)
+    for (int k = 0; k < 3; ++k) f2.push_back(remap[faces[f * 3 + k]]);
+  int64_t F2 = (int64_t)kept.size();
+
+  // --- 3. edge structure of the filtered mesh ---
+  std::vector<int64_t> einv2((size_t)F2 * 3);
+  std::vector<int64_t> ea, eb, owner;
+  std::vector<int32_t> counts;
+  if (F2) unique_edges(f2.data(), F2, V2, einv2.data(), ea, eb, counts, owner);
+  const int64_t E2 = (int64_t)ea.size();
+
+  // --- 4. fill 3-edge holes (single pass; see header equivalence note) ---
+  if (fill_holes && F2) {
+    // group border edges by their smaller endpoint for path continuation
+    std::vector<int64_t> border;  // edge ids, ascending (a,b) key order
+    for (int64_t e = 0; e < E2; ++e)
+      if (counts[e] == 1) border.push_back(e);
+    // start index per vertex into `border` (border is sorted by (a, b))
+    std::vector<int64_t> bstart((size_t)V2 + 1, 0);
+    for (int64_t i = 0; i < (int64_t)border.size(); ++i) ++bstart[ea[border[i]] + 1];
+    for (int64_t v = 0; v < V2; ++v) bstart[v + 1] += bstart[v];
+    auto find_border = [&](int64_t a, int64_t c) -> int64_t {
+      // binary search border edges with lo == a for hi == c
+      int64_t loi = bstart[a], hii = bstart[a + 1];
+      while (loi < hii) {
+        int64_t mid = (loi + hii) / 2;
+        int64_t e = border[mid];
+        if (eb[e] < c) loi = mid + 1;
+        else if (eb[e] > c) hii = mid;
+        else return e;
+      }
+      return -1;
+    };
+    std::vector<int64_t> newf;
+    for (int64_t bi = 0; bi < (int64_t)border.size(); ++bi) {
+      int64_t e_ab = border[bi];
+      int64_t a = ea[e_ab], b = eb[e_ab];
+      for (int64_t bj = bstart[b]; bj < bstart[b + 1]; ++bj) {
+        int64_t e_bc = border[bj];
+        int64_t c = eb[e_bc];  // c > b > a
+        int64_t e_ac = find_border(a, c);
+        if (e_ac < 0) continue;
+        // lone detached triangle re-adding itself is not a hole
+        if (owner[e_ab] == owner[e_bc] && owner[e_bc] == owner[e_ac]) continue;
+        newf.push_back(a);
+        newf.push_back(b);
+        newf.push_back(c);
+        // consume the three edges so the final border excludes them
+        ++counts[e_ab];
+        ++counts[e_bc];
+        ++counts[e_ac];
+      }
+    }
+    f2.insert(f2.end(), newf.begin(), newf.end());
+    F2 += (int64_t)newf.size() / 3;
+  }
+
+  // --- 5. border smoothing (Jacobi over border-to-border edges) ---
+  if (smooth_iters > 0 && E2) {
+    std::vector<int64_t> bmap((size_t)V2, -1);
+    int64_t NB = 0;
+    for (int64_t e = 0; e < E2; ++e)
+      if (counts[e] == 1) {
+        if (bmap[ea[e]] < 0) bmap[ea[e]] = NB++;
+        if (bmap[eb[e]] < 0) bmap[eb[e]] = NB++;
+      }
+    if (NB) {
+      std::vector<int64_t> binv((size_t)NB);
+      for (int64_t v = 0; v < V2; ++v)
+        if (bmap[v] >= 0) binv[bmap[v]] = v;
+      std::vector<std::pair<int32_t, int32_t>> bedges;
+      for (int64_t e = 0; e < E2; ++e)
+        if (counts[e] == 1)
+          bedges.push_back({(int32_t)bmap[ea[e]], (int32_t)bmap[eb[e]]});
+      std::vector<double> bv((size_t)NB * 3), acc((size_t)NB * 3);
+      std::vector<int32_t> deg((size_t)NB, 0);
+      for (int64_t i = 0; i < NB; ++i)
+        for (int k = 0; k < 3; ++k) bv[i * 3 + k] = v2[binv[i] * 3 + k];
+      for (auto& e : bedges) {
+        ++deg[e.first];
+        ++deg[e.second];
+      }
+      for (int it = 0; it < smooth_iters; ++it) {
+        std::fill(acc.begin(), acc.end(), 0.0);
+        for (auto& e : bedges) {
+          for (int k = 0; k < 3; ++k) {
+            acc[e.first * 3 + k] += bv[e.second * 3 + k];
+            acc[e.second * 3 + k] += bv[e.first * 3 + k];
+          }
+        }
+        for (int64_t i = 0; i < NB; ++i) {
+          if (!deg[i]) continue;
+          double inv_d = 1.0 / deg[i];
+          for (int k = 0; k < 3; ++k)
+            bv[i * 3 + k] += lam * (acc[i * 3 + k] * inv_d - bv[i * 3 + k]);
+        }
+      }
+      for (int64_t i = 0; i < NB; ++i)
+        for (int k = 0; k < 3; ++k) v2[binv[i] * 3 + k] = (float)bv[i * 3 + k];
+    }
+  }
+
+  // --- 6. merge duplicate vertices (quantized key; first occurrence wins) ---
+  if (merge_decimals > 0 && V2) {
+    const double scale = std::pow(10.0, merge_decimals);
+    std::vector<surfd::KV> kv((size_t)V2);
+    for (int64_t v = 0; v < V2; ++v) {
+      uint64_t key = 0;
+      for (int k = 0; k < 3; ++k) {
+        int64_t q = (int64_t)std::llround((double)v2[v * 3 + k] * scale) + (1 << 20);
+        key = (key << 21) | (uint64_t)(q & ((1 << 21) - 1));
+      }
+      kv[v] = {key, v};
+    }
+    surfd::radix_sort_kv(kv, UINT64_MAX >> 1);
+    std::vector<int64_t> vmap((size_t)V2);
+    std::vector<int64_t> rep;  // representative old id per merged vertex
+    uint64_t prev = UINT64_MAX;
+    int64_t gid = -1;
+    for (auto& p : kv) {
+      if (p.key != prev || gid < 0) {
+        prev = p.key;
+        ++gid;
+        rep.push_back(p.val);
+      } else if (p.val < rep[gid]) {
+        rep[gid] = p.val;  // lowest original index is the representative
+      }
+      vmap[p.val] = gid;
+    }
+    int64_t V3 = gid + 1;
+    std::vector<float> v3((size_t)V3 * 3);
+    for (int64_t i = 0; i < V3; ++i) std::memcpy(&v3[i * 3], &v2[rep[i] * 3], 12);
+    int64_t w = 0;
+    for (int64_t f = 0; f < F2; ++f) {
+      int64_t i0 = vmap[f2[f * 3]], i1 = vmap[f2[f * 3 + 1]], i2 = vmap[f2[f * 3 + 2]];
+      if (i0 == i1 || i1 == i2 || i0 == i2) continue;
+      f2[w * 3] = i0;
+      f2[w * 3 + 1] = i1;
+      f2[w * 3 + 2] = i2;
+      ++w;
+    }
+    F2 = w;
+    v2.swap(v3);
+    V2 = V3;
+  }
+
+  float* overts = (float*)std::malloc(sizeof(float) * std::max<int64_t>(3 * V2, 1));
+  std::memcpy(overts, v2.data(), sizeof(float) * 3 * V2);
+  int64_t* ofaces = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(3 * F2, 1));
+  std::memcpy(ofaces, f2.data(), sizeof(int64_t) * 3 * F2);
+  *out_verts = overts;
+  *out_nv = V2;
+  *out_faces = ofaces;
+  *out_nf = F2;
+}
+
+}  // extern "C"

@@ -239,22 +239,36 @@ def smooth_borders(mesh: Mesh, iterations: int = 20, lam: float = 0.3) -> Mesh:
 
 def fill_triangle_holes(mesh: Mesh) -> Mesh:
     """Fill 3-edge boundary loops with one triangle (trimesh fill_holes lite,
-    sufficient for the stabilize loop at meshudf.py:381-402)."""
+    sufficient for the stabilize loop at meshudf.py:381-402).
+
+    A detached single triangle has all three of its edges on the border and
+    would be "filled" with a duplicate of itself (and oscillate against
+    remove_duplicate_faces in the stabilize loop) — candidates whose three
+    border edges belong to one face are skipped instead.
+    """
     if len(mesh.faces) == 0:
         return mesh
     NV = len(mesh.vertices)
-    edges, counts = _unique_edges_with_counts(mesh.faces, NV)
-    be = edges[counts == 1]
+    a_ = np.concatenate([mesh.faces[:, 0], mesh.faces[:, 1], mesh.faces[:, 2]])
+    b_ = np.concatenate([mesh.faces[:, 1], mesh.faces[:, 2], mesh.faces[:, 0]])
+    key = np.minimum(a_, b_) * (NV + 1) + np.maximum(a_, b_)
+    uniq, inv = _unique_i64(key)
+    counts = np.bincount(inv, minlength=len(uniq))
+    edges = np.stack([uniq // (NV + 1), uniq % (NV + 1)], axis=1)
+    # owner face per edge (exact for count-1 edges: single writer)
+    owner = np.zeros(len(uniq), np.int64)
+    owner[inv] = np.tile(np.arange(len(mesh.faces)), 3)
+    border1 = counts == 1
+    be = edges[border1]
+    be_owner = owner[border1]
     if len(be) == 0:
         return mesh
     # Vectorized 3-cycle search over border edges: candidate triangles are
     # length-2 border paths a<b<c whose closing edge (a, c) is also border.
-    # Sort border edges (a < b already); for each edge (a, b), border
-    # neighbors of b with id > b close a candidate (a, b, c).
-    order = np.argsort(be[:, 0], kind="stable")
-    by_lo = be[order]  # grouped by smaller endpoint
-    starts = np.searchsorted(by_lo[:, 0], np.arange(NV))
-    ends = np.searchsorted(by_lo[:, 0], np.arange(NV) + 1)
+    # be is already sorted by (lo, hi) — the unique keys ascend — so grouping
+    # by the smaller endpoint and the closing-edge lookup index be directly.
+    starts = np.searchsorted(be[:, 0], np.arange(NV))
+    ends = np.searchsorted(be[:, 0], np.arange(NV) + 1)
     # For every edge (a, b): continuation edges are (b, c) with c > b.
     n_cont = ends[be[:, 1]] - starts[be[:, 1]]
     if n_cont.max(initial=0) == 0:
@@ -266,14 +280,16 @@ def fill_triangle_holes(mesh: Mesh) -> Mesh:
     cont_idx = starts[be[rep, 1]] + offs
     a = be[rep, 0]
     b = be[rep, 1]
-    c = by_lo[cont_idx, 1]
+    c = be[cont_idx, 1]
     # closing edge (a, c) must be a border edge: look up via packed keys
     key_be = be[:, 0] * (NV + 1) + be[:, 1]
-    key_be_sorted = np.sort(key_be)
     close = a * (NV + 1) + c
-    pos = np.searchsorted(key_be_sorted, close)
-    pos = np.clip(pos, 0, len(key_be_sorted) - 1)
-    ok = key_be_sorted[pos] == close
+    pos = np.searchsorted(key_be, close)
+    pos = np.clip(pos, 0, len(key_be) - 1)
+    ok = key_be[pos] == close
+    # detached single triangle (all three edges owned by one face): not a hole
+    lone = (be_owner[rep] == be_owner[cont_idx]) & (be_owner[rep] == be_owner[pos])
+    ok &= ~lone
     if not ok.any():
         return mesh
     new_faces = np.stack([a[ok], b[ok], c[ok]], axis=1)

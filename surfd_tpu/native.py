@@ -47,6 +47,18 @@ def _load() -> ctypes.CDLL:
     ]
     lib.surfd_unique_inverse_i64.restype = ctypes.c_int64
     lib.surfd_unique_inverse_i64.argtypes = [i64p, ctypes.c_int64, ctypes.POINTER(i64p), i64p]
+    lib.surfd_face_filter_prep.restype = ctypes.c_int64
+    lib.surfd_face_filter_prep.argtypes = [
+        fp, ctypes.c_int64, i64p, ctypes.c_int64,
+        ctypes.POINTER(fp), ctypes.POINTER(i64p),
+    ]
+    lib.surfd_finalize_mesh.restype = None
+    lib.surfd_finalize_mesh.argtypes = [
+        fp, ctypes.c_int64, i64p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), i64p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+        ctypes.POINTER(fp), i64p, ctypes.POINTER(i64p), i64p,
+    ]
     lib.surfd_mt_emit.restype = ctypes.c_int64
     lib.surfd_mt_emit.argtypes = [
         fp, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
@@ -147,6 +159,80 @@ def mt_emit(udf: np.ndarray, lo: float, spacing: float, cube_ids: np.ndarray, g8
         lib.surfd_free(overts)
         lib.surfd_free(ofaces)
     return verts.astype(np.float32), faces.astype(np.int64)
+
+
+def face_filter_prep(vertices: np.ndarray, faces: np.ndarray):
+    """Query points + per-face edge ids for the false-face filter.
+
+    One radix-sorted pass over the face soup (C++): returns
+    (pts (V+E, 3) f32 — vertices then unique-edge midpoints, einv (F, 3) i64).
+    Fuses the key build / unique / midpoint steps of
+    pipelines.generate.filter_faces_by_udf (reference meshudf.py:356-379).
+    """
+    lib = _load()
+    v = np.ascontiguousarray(vertices, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int64)
+    fp = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    opts = fp()
+    oeinv = i64p()
+    E = lib.surfd_face_filter_prep(
+        v.ctypes.data_as(fp), len(v), f.ctypes.data_as(i64p), len(f),
+        ctypes.byref(opts), ctypes.byref(oeinv),
+    )
+    try:
+        E = int(E)
+        n = len(v) + E
+        pts = np.ctypeslib.as_array(opts, shape=(max(n, 1), 3))[:n].copy()
+        einv = np.ctypeslib.as_array(oeinv, shape=(max(len(f), 1), 3))[: len(f)].copy()
+    finally:
+        lib.surfd_free(opts)
+        lib.surfd_free(oeinv)
+    return pts, einv
+
+
+def finalize_mesh(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    ok: np.ndarray,
+    einv: np.ndarray,
+    fill_holes: bool = True,
+    smooth_iters: int = 20,
+    lam: float = 0.3,
+    merge_decimals: int = 6,
+):
+    """Fused keep-filter + cleanup (C++): drop faces failing the below-mask,
+    remap vertices, fill 3-edge holes, smooth open borders, merge 1e-6
+    duplicate vertices. Equivalent to the numpy chain
+    filter_faces_by_udf → remove_unreferenced_vertices → stabilize →
+    smooth_borders → merge_duplicate_vertices (mesh_ops.py oracle)."""
+    lib = _load()
+    v = np.ascontiguousarray(vertices, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int64)
+    okb = np.ascontiguousarray(ok, dtype=np.uint8)
+    ei = np.ascontiguousarray(einv, dtype=np.int64)
+    assert len(okb) == len(v) + int(ei.max(initial=-1)) + 1 or len(f) == 0
+    fp = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    overts = fp()
+    ofaces = i64p()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    lib.surfd_finalize_mesh(
+        v.ctypes.data_as(fp), len(v), f.ctypes.data_as(i64p), len(f),
+        okb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ei.ctypes.data_as(i64p),
+        1 if fill_holes else 0, smooth_iters, ctypes.c_float(lam), merge_decimals,
+        ctypes.byref(overts), ctypes.byref(nv), ctypes.byref(ofaces), ctypes.byref(nf),
+    )
+    try:
+        V, F = int(nv.value), int(nf.value)
+        verts = np.ctypeslib.as_array(overts, shape=(max(V, 1), 3))[:V].copy()
+        out_faces = np.ctypeslib.as_array(ofaces, shape=(max(F, 1), 3))[:F].copy()
+    finally:
+        lib.surfd_free(overts)
+        lib.surfd_free(ofaces)
+    return verts.astype(np.float32), out_faces.astype(np.int64)
 
 
 def unique_inverse_i64(keys: np.ndarray):

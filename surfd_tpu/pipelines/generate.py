@@ -244,26 +244,64 @@ def get_mesh_from_udf(
     times["marching"] = time.perf_counter() - t0
     stats["raw_faces"] = len(mesh.faces)
 
-    t0 = time.perf_counter()
-    if cfg.filter_faces and len(mesh.faces):
-        mesh = filter_faces_by_udf(
-            mesh, udf_fn, cfg.face_filter_mult / cfg.resolution, chunk=cfg.max_batch
-        )
-        mesh = remove_unreferenced_vertices(mesh)
-    times["face_filter"] = time.perf_counter() - t0
+    from .. import native
 
-    t0 = time.perf_counter()
-    if cfg.do_stabilize:
-        # MT output is duplicate-free by construction (unique edge keys)
-        mesh = stabilize(mesh, assume_clean=True)
-    if cfg.do_smooth_borders:
-        mesh = smooth_borders(mesh, iterations=20, lam=0.3)
-    if cfg.final_laplacian_iters:
-        mesh = laplacian_smooth(mesh, iterations=cfg.final_laplacian_iters, lam=0.5)
-    if cfg.min_component_faces:
-        mesh = filter_small_components(mesh, cfg.min_component_faces)
-    mesh = merge_duplicate_vertices(mesh)
-    times["cleanup"] = time.perf_counter() - t0
+    fused = cfg.filter_faces and len(mesh.faces) > 0 and native.available()
+    if fused:
+        # Fused native path: ONE C++ pass builds the filter's query points
+        # (vertices + unique-edge midpoints), the TPU evaluates the below-
+        # threshold mask, and a second C++ pass applies the keep filter and
+        # the whole cleanup chain (hole fill, border smoothing, vertex merge).
+        t0 = time.perf_counter()
+        pts, einv = native.face_filter_prep(mesh.vertices, mesh.faces)
+        threshold = cfg.face_filter_mult / cfg.resolution
+        below_bound = getattr(udf_fn, "below_bound", None)
+        if below_bound is not None:
+            ok = eval_in_chunks(below_bound(threshold), pts, cfg.max_batch)
+        else:
+            ok = (eval_in_chunks(udf_fn, pts, cfg.max_batch) <= threshold).astype(
+                np.uint8
+            )
+        times["face_filter"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        v, f = native.finalize_mesh(
+            mesh.vertices,
+            mesh.faces,
+            ok,
+            einv,
+            fill_holes=cfg.do_stabilize,
+            smooth_iters=20 if cfg.do_smooth_borders else 0,
+            lam=0.3,
+            merge_decimals=6,
+        )
+        mesh = Mesh(v, f)
+        if cfg.final_laplacian_iters:
+            mesh = laplacian_smooth(mesh, iterations=cfg.final_laplacian_iters, lam=0.5)
+        if cfg.min_component_faces:
+            mesh = filter_small_components(mesh, cfg.min_component_faces)
+        times["cleanup"] = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        if cfg.filter_faces and len(mesh.faces):
+            mesh = filter_faces_by_udf(
+                mesh, udf_fn, cfg.face_filter_mult / cfg.resolution, chunk=cfg.max_batch
+            )
+            mesh = remove_unreferenced_vertices(mesh)
+        times["face_filter"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        if cfg.do_stabilize:
+            # MT output is duplicate-free by construction (unique edge keys)
+            mesh = stabilize(mesh, assume_clean=True)
+        if cfg.do_smooth_borders:
+            mesh = smooth_borders(mesh, iterations=20, lam=0.3)
+        if cfg.final_laplacian_iters:
+            mesh = laplacian_smooth(mesh, iterations=cfg.final_laplacian_iters, lam=0.5)
+        if cfg.min_component_faces:
+            mesh = filter_small_components(mesh, cfg.min_component_faces)
+        mesh = merge_duplicate_vertices(mesh)
+        times["cleanup"] = time.perf_counter() - t0
 
     if return_stats:
         stats["final_faces"] = len(mesh.faces)

@@ -271,3 +271,103 @@ def test_grid_filler_hierarchical_matches_dense():
     single.sub_block = 0
     _, s1 = single.fill(jax.jit(_sphere_udf_fn), return_stats=True)
     assert stats["fine_points"] < 0.6 * s1["fine_points"]
+
+
+def _two_sphere_udf_np(p, max_dist=0.1):
+    d1 = np.abs(np.linalg.norm(p, axis=-1) - 0.55)
+    d2 = np.abs(np.linalg.norm(p - np.array([0.3, 0.0, 0.0]), axis=-1) - 0.35)
+    return np.minimum(np.minimum(d1, d2), max_dist)
+
+
+def test_fill_triangle_holes_lone_and_hole():
+    """A genuine 3-edge hole is filled; a detached triangle is NOT re-added
+    as a duplicate of itself (the stabilize-loop oscillation artifact)."""
+    from surfd_tpu.geometry.mesh_ops import fill_triangle_holes
+
+    # tetrahedron missing one face: 3 border edges closing a 3-cycle
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    tet_open = Mesh(v, np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3]], np.int64))
+    filled = fill_triangle_holes(tet_open)
+    assert len(filled.faces) == 4
+    assert sorted(filled.faces[-1].tolist()) == [1, 2, 3]
+
+    lone = Mesh(v[:3], np.array([[0, 1, 2]], np.int64))
+    assert len(fill_triangle_holes(lone).faces) == 1
+    # and stabilize terminates without leaving duplicates
+    st = stabilize(lone, assume_clean=True)
+    assert len(st.faces) == 1
+
+
+def test_native_face_filter_prep_matches_numpy():
+    from surfd_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    udf, grad = sphere_udf_grids(32)
+    mesh = marching_tetrahedra_udf(udf, grad, use_native=False)
+    pts, einv = native.face_filter_prep(mesh.vertices, mesh.faces)
+    # numpy oracle: unique undirected edges + midpoints
+    f = mesh.faces
+    a = np.concatenate([f[:, 0], f[:, 1], f[:, 2]])
+    b = np.concatenate([f[:, 1], f[:, 2], f[:, 0]])
+    NV = len(mesh.vertices) + 1
+    keys = np.minimum(a, b) * NV + np.maximum(a, b)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    assert len(pts) == len(mesh.vertices) + len(uniq)
+    np.testing.assert_allclose(pts[: len(mesh.vertices)], mesh.vertices)
+    ea, eb = uniq // NV, uniq % NV
+    mids = 0.5 * (mesh.vertices[ea] + mesh.vertices[eb])
+    np.testing.assert_allclose(pts[len(mesh.vertices):], mids, atol=1e-6)
+    # einv maps face edge k (between corner k and k+1) to the unique edge id
+    np.testing.assert_array_equal(einv, inv.ravel().reshape(3, -1).T)
+
+
+def test_native_finalize_parity_full_chain():
+    """Fused C++ filter+cleanup == the numpy oracle chain, face for face."""
+    from surfd_tpu import native
+    from surfd_tpu.geometry import remove_unreferenced_vertices
+    from surfd_tpu.pipelines.generate import filter_faces_by_udf
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    r = 64
+    xs = np.linspace(-1, 1, r, dtype=np.float64)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    udf = _two_sphere_udf_np(g)
+    eps = 1e-5
+    grad = np.stack(
+        [
+            (_two_sphere_udf_np(g + off) - _two_sphere_udf_np(g - off)) / (2 * eps)
+            for off in (np.eye(3) * eps)
+        ],
+        axis=-1,
+    )
+    mesh = marching_tetrahedra_udf(udf, grad, use_native=True)
+    assert len(mesh.faces) > 1000
+
+    def udf_fn(p):
+        p = jnp.asarray(p)
+        d1 = jnp.abs(jnp.linalg.norm(p, axis=-1) - 0.55)
+        d2 = jnp.abs(jnp.linalg.norm(p - jnp.array([0.3, 0.0, 0.0]), axis=-1) - 0.35)
+        return jnp.minimum(jnp.minimum(d1, d2), 0.1)
+
+    thr = 1.0 / r
+    m_np = filter_faces_by_udf(mesh, udf_fn, thr, chunk=2**16)
+    m_np = remove_unreferenced_vertices(m_np)
+    m_np = stabilize(m_np, assume_clean=True)
+    m_np = smooth_borders(m_np, iterations=20, lam=0.3)
+    m_np = merge_duplicate_vertices(m_np)
+
+    pts, einv = native.face_filter_prep(mesh.vertices, mesh.faces)
+    ok = (_two_sphere_udf_np(pts) <= thr).astype(np.uint8)
+    v, f = native.finalize_mesh(mesh.vertices, mesh.faces, ok, einv)
+
+    assert (len(v), len(f)) == (len(m_np.vertices), len(m_np.faces))
+
+    def face_set(verts, faces, dec=5):
+        tri = np.round(verts[faces] * 10**dec).astype(np.int64)
+        order = np.lexsort((tri[:, :, 2], tri[:, :, 1], tri[:, :, 0]), axis=1)
+        canon = np.take_along_axis(tri, order[:, :, None], axis=1)
+        return set(map(tuple, canon.reshape(len(faces), 9)))
+
+    assert face_set(m_np.vertices, m_np.faces) == face_set(v, f)
