@@ -30,6 +30,7 @@ from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .schedule import Schedule
 
@@ -61,7 +62,10 @@ def _extract(arr: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
 
     Mirrors `_extract_into_tensor` (gaussian_diffusion.py:1329-1342).
     """
-    out = arr[t].astype(jnp.float32)
+    # Schedule arrays are host numpy (embedded as HLO literals at trace time:
+    # pre-created DEVICE constants throttle every later h2d on the axon
+    # tunnel); jnp.asarray makes the traced gather explicit.
+    out = jnp.asarray(arr)[t].astype(jnp.float32)
     return out.reshape(out.shape + (1,) * (ndim - 1))
 
 
@@ -384,7 +388,7 @@ def ddim_sample_loop(
 # Adams-Bashforth coefficients for PLMS orders 1-4, padded to 4 taps; row k is
 # order k+1, columns weight eps[-1], eps[-2], eps[-3], eps[-4]
 # (gaussian_diffusion.py:1036-1046).
-_AB_COEFFS = jnp.array(
+_AB_COEFFS = np.array(
     [
         [1.0, 0.0, 0.0, 0.0],
         [3.0 / 2.0, -1.0 / 2.0, 0.0, 0.0],
@@ -443,7 +447,7 @@ def plms_sample_loop(
             # Ring buffer holds the previous eps values, newest at slot 0.
             new_hist = jnp.concatenate([eps[None], hist[:-1]], axis=0)
             cur_order = jnp.minimum(order, n_hist + 1)
-            coeffs = _AB_COEFFS[cur_order - 1]
+            coeffs = jnp.asarray(_AB_COEFFS)[cur_order - 1]
             return jnp.tensordot(coeffs, new_hist, axes=1)
 
         use_euler = jnp.logical_and(order > 1, n_hist == 0)

@@ -5,8 +5,12 @@ TPU-first re-design of the reference's `GaussianDiffusion.__init__` +
 and `SpacedDiffusion` respacing (/root/reference/diffusion/respace.py:7-115).
 
 All process constants are precomputed once in float64 numpy (matching the
-reference's precision choice) and stored as a frozen pytree of float32 jnp
-arrays so the whole schedule can be closed over by jitted samplers/losses.
+reference's precision choice) and stored as a frozen pytree of float32 HOST
+(numpy) arrays so the whole schedule can be closed over by jitted
+samplers/losses, where the tracer embeds them as HLO literals. They must NOT
+be pre-created device arrays: on the axon TPU tunnel, an executable holding
+references to pre-existing device constants permanently throttles every
+subsequent host→device transfer in the process (~30 MB/s vs ~1 GB/s).
 Respacing is a pure transformation producing a new `Schedule` plus a
 `timestep_map` that the model-apply wrapper uses to remap t — no subclassing,
 no wrapped-model object.
@@ -91,7 +95,7 @@ class Schedule:
         Replaces reference `_WrappedModel.__call__` (respace.py:123-132) and
         `_scale_timesteps` (gaussian_diffusion.py:388-391).
         """
-        new_t = self.timestep_map[t]
+        new_t = jnp.asarray(self.timestep_map)[t]
         if self.rescale_timesteps:
             return new_t.astype(jnp.float32) * (1000.0 / self.original_num_steps)
         return new_t
@@ -125,7 +129,7 @@ def make_schedule(
     if original_num_steps is None:
         original_num_steps = T
 
-    as_j = lambda a: jnp.asarray(a, dtype=dtype)
+    as_j = lambda a: np.asarray(a, dtype=dtype)  # host arrays — see module doc
     return Schedule(
         betas=as_j(betas),
         alphas_cumprod=as_j(alphas_cumprod),
@@ -146,7 +150,7 @@ def make_schedule(
         ),
         fixed_large_variance=as_j(fixed_large_variance),
         fixed_large_log_variance=as_j(np.log(fixed_large_variance)),
-        timestep_map=jnp.asarray(timestep_map, dtype=jnp.int32),
+        timestep_map=np.asarray(timestep_map, dtype=np.int32),
         num_timesteps=T,
         original_num_steps=int(original_num_steps),
         rescale_timesteps=rescale_timesteps,

@@ -164,13 +164,14 @@ def _get_block_fn(udf_fn, B: int, spacing: float, lo: float):
     block_base = cache.get(key)
     if block_base is None:
         rng = np.arange(B)
+        # host constants (traced to HLO literals) — pre-created device arrays
+        # captured by closures throttle later h2d on the axon tunnel
         off = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"), axis=-1).reshape(-1, 3)
-        off_dev = jnp.asarray(off)
-        sp = jnp.float32(spacing)
-        lo_ = jnp.float32(lo)
+        sp = np.float32(spacing)
+        lo_ = np.float32(lo)
 
         def gen_points(ab_chunk):
-            vidx = ab_chunk[:, None, :] * B + off_dev[None]
+            vidx = ab_chunk[:, None, :] * B + off[None]
             return vidx.reshape(-1, 3).astype(jnp.float32) * sp + lo_
 
         if stable is not None:
@@ -217,12 +218,11 @@ def _get_subcenter_fn(udf_fn, B: int, B2: int, spacing: float, lo: float):
             * B2
             + (B2 - 1) / 2.0
         ).astype(np.float32)
-        off_dev = jnp.asarray(off)
-        sp = jnp.float32(spacing)
-        lo_ = jnp.float32(lo)
+        sp = np.float32(spacing)
+        lo_ = np.float32(lo)
 
         def gen_centers(ab_chunk):
-            vidx = ab_chunk[:, None, :].astype(jnp.float32) * B + off_dev[None]
+            vidx = ab_chunk[:, None, :].astype(jnp.float32) * B + off[None]
             return vidx.reshape(-1, 3) * sp + lo_
 
         if stable is not None:

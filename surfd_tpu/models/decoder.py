@@ -18,6 +18,7 @@ block's second conv starts at zero (cbndec.py:97).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -38,10 +39,13 @@ class CoordsEncoder:
     ):
         self.input_dims = input_dims
         self.include_input = include_input
+        # Host floats, NOT device arrays: pre-created device constants captured
+        # by jitted closures throttle all later h2d transfers on the axon
+        # tunnel (see diffusion/schedule.py module doc).
         if log_sampling:
-            self.freq_bands = 2.0 ** jnp.linspace(0.0, max_freq_log2, num_freqs)
+            self.freq_bands = (2.0 ** np.linspace(0.0, max_freq_log2, num_freqs)).tolist()
         else:
-            self.freq_bands = jnp.linspace(2.0**0.0, 2.0**max_freq_log2, num_freqs)
+            self.freq_bands = np.linspace(2.0**0.0, 2.0**max_freq_log2, num_freqs).tolist()
         self.out_dim = (input_dims if include_input else 0) + input_dims * 2 * num_freqs
 
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:
