@@ -57,26 +57,86 @@ static const int CORNER_OFF[8][3] = {
 };
 
 struct TriRec {
-    int64_t key[3];   // undirected edge keys a*NV+b, winding already oriented
+    int64_t key[3];   // compact undirected edge keys, winding already oriented
 };
 
 inline int64_t gid_of(int x, int y, int z, int R) {
     return ((int64_t)x * R + y) * R + z;
 }
 
+// Flat-gid -> (x, y, z) decode, shift/mask when R is a power of two (the
+// production resolutions 128/256/512 all are; int64 div is ~20-40 cycles).
+struct GidDecode {
+  int64_t RR;
+  int R;
+  bool pow2;
+  int s1;
+  uint64_t mask;
+  void init(int R_) {
+    R = R_;
+    RR = (int64_t)R_ * R_;
+    pow2 = (R_ & (R_ - 1)) == 0;
+    s1 = pow2 ? __builtin_ctz(R_) : 0;
+    mask = pow2 ? (uint64_t)(R_ - 1) : 0;
+  }
+  inline void xyz(int64_t g, int& x, int& y, int& z) const {
+    if (pow2) {
+      x = (int)(g >> (2 * s1));
+      y = (int)((g >> s1) & mask);
+      z = (int)(g & mask);
+    } else {
+      x = (int)(g / RR);
+      y = (int)((g / R) % R);
+      z = (int)(g % R);
+    }
+  }
+};
+
+// The 19 distinct |gid delta|s of tet edges (corner pairs within one cube).
+// Edge key = min_gid * 32 + delta_type: 33 bits at R=512 instead of the 54 of
+// min*NV+max, so the dedup radix sort runs 3 passes instead of 5.
+struct EdgeDeltas {
+  int64_t deltas[19];
+  int n;
+  void init(int R) {
+    const int64_t RR = (int64_t)R * R;
+    n = 0;
+    int64_t tmp[32];
+    for (int t = 0; t < 6; ++t)
+      for (int e = 0; e < 6; ++e) {
+        int ca = TETS[t][TET_EDGES[e][0]], cb = TETS[t][TET_EDGES[e][1]];
+        int64_t ga = CORNER_OFF[ca][0] * RR + CORNER_OFF[ca][1] * R + CORNER_OFF[ca][2];
+        int64_t gb = CORNER_OFF[cb][0] * RR + CORNER_OFF[cb][1] * R + CORNER_OFF[cb][2];
+        int64_t d = ga < gb ? gb - ga : ga - gb;
+        bool dup = false;
+        for (int i = 0; i < n; ++i) dup |= tmp[i] == d;
+        if (!dup) tmp[n++] = d;
+      }
+    std::sort(tmp, tmp + n);
+    for (int i = 0; i < n; ++i) deltas[i] = tmp[i];
+  }
+  inline int type_of(int64_t d) const {
+    int lo = 0, hi = n;
+    while (lo + 1 < hi) {
+      int mid = (lo + hi) >> 1;
+      if (deltas[mid] <= d) lo = mid;
+      else hi = mid;
+    }
+    return lo;
+  }
+};
+
 void worker_active(
     const float* udf, int R, float near_thr, float avg_thr,
-    int z0, int z1, std::vector<int64_t>* out, std::vector<int64_t>* near_out) {
+    int z0, int z1, std::vector<int64_t>* out,
+    std::atomic<uint64_t>* corner_bits) {
   const int64_t RR = (int64_t)R * R;
   for (int x = z0; x < z1; ++x) {
-    for (int y = 0; y < R; ++y) {
+    if (x >= R - 1) continue;
+    for (int y = 0; y < R - 1; ++y) {
       const float* row = udf + x * RR + (int64_t)y * R;
-      for (int z = 0; z < R; ++z) {
+      for (int z = 0; z < R - 1; ++z) {
         if (row[z] > near_thr) continue;
-        // near vertex (same sweep collects the near-band gid list the
-        // python side needs for gradient evaluation)
-        near_out->push_back((int64_t)x * RR + (int64_t)y * R + z);
-        if (x >= R - 1 || y >= R - 1 || z >= R - 1) continue;
         float s = 0.f;
         bool ok = true;
         for (int c = 0; c < 8 && ok; ++c) {
@@ -88,6 +148,15 @@ void worker_active(
         }
         if (!ok || s * 0.125f >= avg_thr) continue;
         out->push_back(((int64_t)x * (R - 1) + y) * (R - 1) + z);
+        // mark the 8 corners: the python side evaluates gradients at exactly
+        // these nodes (a strict subset of the near band — fewer device evals
+        // and less d2h than collecting every near vertex)
+        for (int c = 0; c < 8; ++c) {
+          int64_t g = (int64_t)(x + CORNER_OFF[c][0]) * RR +
+                      (int64_t)(y + CORNER_OFF[c][1]) * R +
+                      (z + CORNER_OFF[c][2]);
+          corner_bits[g >> 6].fetch_or(1ull << (g & 63), std::memory_order_relaxed);
+        }
       }
     }
   }
@@ -99,37 +168,56 @@ extern "C" {
 
 void surfd_free(void* p) { std::free(p); }
 
-// Pass 1: flat active-cube ids (x*(R-1)+y)*(R-1)+z AND near-band vertex gids
-// (both sorted ascending). Caller frees both with surfd_free. Returns the
-// active-cube count; *out_n_near receives the near-vertex count.
+// Pass 1: flat active-cube ids (x*(R-1)+y)*(R-1)+z AND the sorted gid list of
+// every distinct active-cube CORNER (the exact nodes pass 2 needs gradients
+// at). Caller frees both with surfd_free. Returns the active-cube count;
+// *out_n_near receives the corner count.
 int64_t surfd_mt_active_cubes(
     const float* udf, int32_t R, float near_thr, float avg_thr,
     int64_t** out_ids, int64_t** out_near, int64_t* out_n_near) {
   int nt = std::max(1u, std::thread::hardware_concurrency());
   nt = std::min(nt, 16);
-  std::vector<std::vector<int64_t>> buf(nt), nbuf(nt);
+  const int64_t NV = (int64_t)R * R * R;
+  const int64_t nwords = (NV + 63) >> 6;
+  std::atomic<uint64_t>* corner_bits = new std::atomic<uint64_t>[nwords];
+  std::memset((void*)corner_bits, 0, nwords * sizeof(uint64_t));
+  std::vector<std::vector<int64_t>> buf(nt);
   std::vector<std::thread> threads;
   int per = (R + nt - 1) / nt;
   for (int t = 0; t < nt; ++t) {
     int a = t * per, b = std::min((t + 1) * per, (int)R);
     if (a >= b) break;
-    threads.emplace_back(worker_active, udf, R, near_thr, avg_thr, a, b, &buf[t], &nbuf[t]);
+    threads.emplace_back(worker_active, udf, R, near_thr, avg_thr, a, b, &buf[t], corner_bits);
   }
   for (auto& th : threads) th.join();
-  auto concat = [](std::vector<std::vector<int64_t>>& parts, int64_t** out) {
-    int64_t total = 0;
-    for (auto& v : parts) total += (int64_t)v.size();
-    int64_t* arr = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(total, 1));
-    int64_t off = 0;
-    for (auto& v : parts) {
-      std::memcpy(arr + off, v.data(), v.size() * sizeof(int64_t));
-      off += (int64_t)v.size();
+
+  int64_t n_active = 0;
+  for (auto& v : buf) n_active += (int64_t)v.size();
+  int64_t* ids = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(n_active, 1));
+  int64_t off = 0;
+  for (auto& v : buf) {
+    std::memcpy(ids + off, v.data(), v.size() * sizeof(int64_t));
+    off += (int64_t)v.size();
+  }
+  *out_ids = ids;
+
+  // scan the bitmask: sorted ascending corner gid list, popcount-sized
+  int64_t n_corner = 0;
+  for (int64_t w = 0; w < nwords; ++w)
+    n_corner += __builtin_popcountll(corner_bits[w].load(std::memory_order_relaxed));
+  int64_t* corners = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(n_corner, 1));
+  int64_t k = 0;
+  for (int64_t w = 0; w < nwords; ++w) {
+    uint64_t bits = corner_bits[w].load(std::memory_order_relaxed);
+    while (bits) {
+      int b = __builtin_ctzll(bits);
+      corners[k++] = (w << 6) | b;
+      bits &= bits - 1;
     }
-    *out = arr;
-    return total;
-  };
-  int64_t n_active = concat(buf, out_ids);
-  *out_n_near = concat(nbuf, out_near);
+  }
+  delete[] corner_bits;
+  *out_near = corners;
+  *out_n_near = n_corner;
   return n_active;
 }
 
@@ -146,6 +234,10 @@ int64_t surfd_mt_emit(
     int64_t** out_faces, int64_t* out_nfaces) {
   const int64_t NV = (int64_t)R * R * R;
   const int Rm1 = R - 1;
+  EdgeDeltas ED;
+  ED.init(R);
+  GidDecode GD;
+  GD.init(R);
 
   int nt = std::max(1u, std::thread::hardware_concurrency());
   nt = std::min(nt, 16);
@@ -170,6 +262,7 @@ int64_t surfd_mt_emit(
       bool cy[2] = {dot(0, 2), dot(1, 3)};
       bool cz[2][2] = {{dot(0, 4), dot(2, 6)}, {dot(1, 5), dot(3, 7)}};
       float vals[8];
+      float uraw[8];
       int64_t gids[8];
       for (int c = 0; c < 8; ++c) {
         int dx = CORNER_OFF[c][0], dy = CORNER_OFF[c][1], dz = CORNER_OFF[c][2];
@@ -179,6 +272,7 @@ int64_t surfd_mt_emit(
         if (dz) parity ^= cz[dx][dy];
         gids[c] = gid_of(x + dx, y + dy, z + dz, R);
         float u = udf[gids[c]];
+        uraw[c] = u;
         vals[c] = parity ? -u : u;
       }
       // per-cube outward direction: mean of s_c · g_c over corners (the UDF
@@ -205,16 +299,19 @@ int64_t surfd_mt_emit(
             int lb = TETS[tet][TET_EDGES[e][1]];
             int64_t a = gids[la], b = gids[lb];
             if (a > b) std::swap(a, b);
-            rec.key[k] = a * NV + b;
-            // interpolated position (grid-index space; affine → same winding)
-            float ua = udf[a], ub = udf[b];
+            rec.key[k] = a * 32 + ED.type_of(b - a);
+            // interpolated position straight from cube-local corner offsets
+            // (grid-index space; affine → same winding). t = u_a/(u_a+u_b)
+            // is symmetric in the endpoints, so no swap bookkeeping.
+            float ua = uraw[la], ub = uraw[lb];
             float su = ua + ub;
             float t = su > 1e-12f ? ua / su : 0.5f;
-            float ax_ = (float)(a / ((int64_t)R * R)), ay_ = (float)((a / R) % R), az_ = (float)(a % R);
-            float bx_ = (float)(b / ((int64_t)R * R)), by_ = (float)((b / R) % R), bz_ = (float)(b % R);
-            px[k] = ax_ + t * (bx_ - ax_);
-            py[k] = ay_ + t * (by_ - ay_);
-            pz[k] = az_ + t * (bz_ - az_);
+            px[k] = (float)(x + CORNER_OFF[la][0]) +
+                    t * (float)(CORNER_OFF[lb][0] - CORNER_OFF[la][0]);
+            py[k] = (float)(y + CORNER_OFF[la][1]) +
+                    t * (float)(CORNER_OFF[lb][1] - CORNER_OFF[la][1]);
+            pz[k] = (float)(z + CORNER_OFF[la][2]) +
+                    t * (float)(CORNER_OFF[lb][2] - CORNER_OFF[la][2]);
           }
           // orient: flip if normal opposes the cube outward direction
           float e1x = px[1] - px[0], e1y = py[1] - py[0], e1z = pz[1] - pz[0];
@@ -262,7 +359,7 @@ int64_t surfd_mt_emit(
       }
     }
   }
-  surfd::radix_sort_kv(keyslot, (uint64_t)NV * NV);
+  surfd::radix_sort_kv(keyslot, (uint64_t)NV * 32);
 
   std::vector<int64_t> face_flat(T * 3);
   std::vector<int64_t> uniq_a, uniq_b;
@@ -274,8 +371,9 @@ int64_t surfd_mt_emit(
     if (ks.key != prev_key) {
       prev_key = ks.key;
       ++vid;
-      uniq_a.push_back((int64_t)(ks.key / NV));
-      uniq_b.push_back((int64_t)(ks.key % NV));
+      int64_t a = (int64_t)(ks.key >> 5);
+      uniq_a.push_back(a);
+      uniq_b.push_back(a + ED.deltas[ks.key & 31]);
     }
     face_flat[ks.val] = vid;
   }
@@ -288,8 +386,9 @@ int64_t surfd_mt_emit(
     float ua = udf[a], ub = udf[b];
     float su = ua + ub;
     float t = su > 1e-12f ? ua / su : 0.5f;
-    int ax = (int)(a / ((int64_t)R * R)), ay = (int)((a / R) % R), az = (int)(a % R);
-    int bx = (int)(b / ((int64_t)R * R)), by = (int)((b / R) % R), bz = (int)(b % R);
+    int ax, ay, az, bx, by, bz;
+    GD.xyz(a, ax, ay, az);
+    GD.xyz(b, bx, by, bz);
     verts[3 * i] = lo + spacing * (ax + t * (bx - ax));
     verts[3 * i + 1] = lo + spacing * (ay + t * (by - ay));
     verts[3 * i + 2] = lo + spacing * (az + t * (bz - az));

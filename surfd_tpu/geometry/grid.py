@@ -94,7 +94,7 @@ def _next_bucket(n: int) -> int:
     return three_q if three_q >= n else p
 
 
-def eval_in_chunks(fn, pts, chunk: int) -> np.ndarray:
+def eval_in_chunks(fn, pts, chunk: int, unpack_bits: bool = False) -> np.ndarray:
     """Evaluate a jitted device fn over (P, ...) points in fixed-size chunks.
 
     Transfer/dispatch discipline (the axon tunnel costs ~100-300 ms latency
@@ -103,10 +103,16 @@ def eval_in_chunks(fn, pts, chunk: int) -> np.ndarray:
       * ONE dispatch: a jitted lax.map over (K, chunk, ...) slabs, with K
         padded to the next power of two so at most log2 variants compile;
       * ONE device→host download of the result.
+
+    unpack_bits: fn returns a packed bitmask (chunk//8 uint8 per chunk,
+    jnp.packbits order) — download 1 bit per point and np.unpackbits on host
+    (the tunnel's d2h path is the slow direction).
     """
     P = pts.shape[0]
     if P == 0:
         probe = np.asarray(fn(jnp.zeros((chunk, 3), jnp.float32)))
+        if unpack_bits:
+            return np.zeros((0,), np.uint8)
         return np.zeros((0,) + probe.shape[1:], probe.dtype)
     chunk = min(chunk, _next_pow2(P))
     n_chunks = _next_bucket(math.ceil(P / chunk))
@@ -119,6 +125,10 @@ def eval_in_chunks(fn, pts, chunk: int) -> np.ndarray:
         pts_dev = jnp.pad(pts, ((0, pad),) + ((0, 0),) * (pts.ndim - 1)) if pad else pts
     slabs = pts_dev.reshape((n_chunks, chunk) + pts_dev.shape[1:])
     out = _fused_map(fn, chunk)(slabs)
+    if unpack_bits:
+        host = np.asarray(out)  # (n_chunks, ceil(chunk/8)) uint8
+        bits = np.unpackbits(host.reshape(n_chunks, -1), axis=1)[:, :chunk]
+        return bits.reshape(-1)[:P]
     # fn may emit more than one value per input item (e.g. block → B³ verts)
     per_item = out.shape[1] // chunk
     out = out.reshape((n_chunks * chunk * per_item,) + out.shape[2:])

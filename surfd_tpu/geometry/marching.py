@@ -303,7 +303,12 @@ def marching_tetrahedra_udf(
     flat_u = u.reshape(-1)
 
     if callable(gradients):
-        grad_lookup = _LazyGradLookup(gradients, R, lo, voxel)
+        if getattr(gradients, "by_gid", False):
+            # callable takes flat grid ids directly (positions are decoded on
+            # device — int32 ids are the cheapest upload)
+            grad_lookup = lambda gids: np.asarray(gradients(np.asarray(gids)), np.float32)
+        else:
+            grad_lookup = _LazyGradLookup(gradients, R, lo, voxel)
     else:
         assert gradients.shape == (R, R, R, 3)
         flat_g = np.ascontiguousarray(gradients, dtype=np.float32).reshape(-1, 3)
@@ -386,10 +391,11 @@ def _marching_udf_native(
 ) -> Mesh:
     """Native (C++) marching path: same algorithm, serial-host engineered.
 
-    Pass 1 finds active cubes and the sorted near-band gid list in one sweep;
-    python resolves int8 unit gradients at those gids (on device when
-    grad_lookup is lazy); pass 2 emits the radix-deduped mesh with triangle
-    winding decided in-loop from the per-cube pseudo-signed gradients.
+    Pass 1 finds active cubes and the sorted gid list of their distinct
+    corners in one sweep; python resolves int8 unit gradients at exactly
+    those gids (on device when grad_lookup is lazy); pass 2 emits the
+    radix-deduped mesh with triangle winding decided in-loop from the
+    per-cube pseudo-signed gradients.
     """
     import time as _time
 
@@ -411,9 +417,9 @@ def _marching_udf_native(
     cy = (cube_ids // Rm1) % Rm1
     cx = cube_ids // (Rm1 * Rm1)
     gids = _cube_corner_gids(np.stack([cx, cy, cz], axis=1), R)
-    # Every active-cube corner is in the near band (the pass-1 gate requires
-    # it) and pass 1 already emitted the sorted near-gid list in its sweep, so
-    # resolving corner gradients is one searchsorted instead of an np.unique.
+    # Pass 1 emitted the sorted list of exactly the distinct active-cube
+    # corners, so resolving corner gradients is one searchsorted instead of
+    # an np.unique, and the device evaluates no gradient it will not use.
     inv8 = np.searchsorted(near_gids, gids)
     t0 = mark("mt_unique", t0)
     g_near = np.asarray(grad_lookup(near_gids), np.float32)

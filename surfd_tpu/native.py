@@ -105,7 +105,7 @@ def closest_points(vertices: np.ndarray, triangles: np.ndarray, queries: np.ndar
 
 
 def mt_active_cubes(udf: np.ndarray, near_thr: float, avg_thr: float):
-    """(active-cube ids, sorted near-band vertex gids) in ONE grid sweep."""
+    """(active-cube ids, sorted distinct active-cube corner gids), ONE sweep."""
     lib = _load()
     u = np.ascontiguousarray(udf, dtype=np.float32)
     R = u.shape[0]

@@ -58,9 +58,10 @@ def make_udf_fn(
     # geometry.eval_in_chunks).
     dvars = jax.tree.map(jnp.asarray, decoder_vars)
     lat = jnp.asarray(latent)
-    udf_base, below_base, grad_base, jits, udf_u16_base, grad_i8_base = _decoder_eval_fns(
-        decoder, float(max_dist)
-    )
+    (
+        udf_base, below_base, grad_base, jits, udf_u16_base, grad_i8_base,
+        below_packed_base, below_packed_q16_base, grad_i8_gid_base_for,
+    ) = _decoder_eval_fns(decoder, float(max_dist))
     jit_udf, jit_below, jit_grad = jits
 
     args = (dvars, lat)
@@ -100,8 +101,37 @@ def make_udf_fn(
         f.stable = (below_base, bargs)
         return f
 
+    def below_packed_bound(thr):
+        bargs = _bargs(thr)
+        f = lambda p: below_packed_base(bargs, p)
+        f.stable = (below_packed_base, bargs)
+        return f
+
+    def below_packed_q16_bound(thr, qlo, qstep):
+        key = ("q16", float(thr), float(qlo), float(qstep))
+        if key not in _thr_cache:
+            _thr_cache[key] = (
+                dvars, lat, jnp.float32(thr), jnp.float32(qlo), jnp.float32(qstep)
+            )
+        bargs = _thr_cache[key]
+        f = lambda p: below_packed_q16_base(bargs, p)
+        f.stable = (below_packed_q16_base, bargs)
+        return f
+
+    # gradient eval addressed by flat grid ids: the int32 gid upload is 3x
+    # smaller than f32 positions (h2d is throttled after the first d2h)
+    def grad_i8_gid_bound(R, lo, spacing):
+        gid_base = grad_i8_gid_base_for(R, lo, spacing)
+        f = lambda g: gid_base(args, g)
+        f.stable = (gid_base, args)
+        f.by_gid = True
+        return f
+
     udf_fn.below_fn = below_fn
     udf_fn.below_bound = below_bound
+    udf_fn.below_packed_bound = below_packed_bound
+    udf_fn.below_packed_q16_bound = below_packed_q16_bound
+    udf_fn.grad_i8_gid_bound = grad_i8_gid_bound
     return udf_fn
 
 
@@ -129,6 +159,19 @@ def _decoder_eval_fns(decoder: CbnDecoder, max_dist: float):
         variables, lat, thr = args
         return (udf_base((variables, lat), pts) <= thr).astype(jnp.uint8)
 
+    def below_packed_base(args, pts):
+        # 1 bit per point: the tunnel's d2h is the slow direction
+        return jnp.packbits(below_base(args, pts))
+
+    def below_packed_q16_base(args, qpts):
+        # uint16-quantized points: after the pipeline's first d2h the tunnel
+        # throttles h2d to ~30 MB/s, so the filter's multi-M-point upload is
+        # halved by quantizing to the 2^16 coords grid (half-step 1.5e-5 —
+        # <1% of the 1/512 threshold).
+        variables, lat, thr, qlo, qstep = args
+        pts = qpts.astype(jnp.float32) * qstep + qlo
+        return jnp.packbits(below_base((variables, lat, thr), pts))
+
     def grad_base(args, pts):
         _, vjp_fn = jax.vjp(lambda p: udf_base(args, p), pts)
         (g,) = vjp_fn(jnp.ones(pts.shape[:-1], pts.dtype))
@@ -139,8 +182,33 @@ def _decoder_eval_fns(decoder: CbnDecoder, max_dist: float):
         n = jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
         return jnp.round(g / n * 127.0).astype(jnp.int8)
 
+    # gid-addressed gradient bases keyed by (R, lo, spacing) — shared across
+    # latent re-binds so the compiled executable is reused
+    gid_bases: dict = {}
+
+    def grad_i8_gid_base_for(R, lo, spacing):
+        key = (int(R), float(lo), float(spacing))
+        if key not in gid_bases:
+            RR = int(R) * int(R)
+            lo32 = np.float32(lo)
+            sp32 = np.float32(spacing)
+
+            def gid_base(a, gids, _R=int(R), _RR=RR, _lo=lo32, _sp=sp32):
+                x = gids // _RR
+                rem = gids % _RR
+                y = rem // _R
+                z = rem % _R
+                pts = jnp.stack([x, y, z], axis=-1).astype(jnp.float32) * _sp + _lo
+                return grad_i8_base(a, pts)
+
+            gid_bases[key] = gid_base
+        return gid_bases[key]
+
     jits = (jax.jit(udf_base), jax.jit(below_base), jax.jit(grad_base))
-    return udf_base, below_base, grad_base, jits, udf_u16_base, grad_i8_base
+    return (
+        udf_base, below_base, grad_base, jits, udf_u16_base, grad_i8_base,
+        below_packed_base, below_packed_q16_base, grad_i8_gid_base_for,
+    )
 
 
 def filter_faces_by_udf(
@@ -203,6 +271,10 @@ class MeshExtractionConfig:
     face_filter_mult: float = 1.0
     do_stabilize: bool = True
     do_smooth_borders: bool = True
+    # filter-point uploads quantized to the 2^16 coords grid (half-step
+    # 1.5e-5 at range (-1,1) — <1% of the threshold); set False for the exact
+    # f32 re-query the reference performs (meshudf.py:356-379)
+    quantized_filter_points: bool = True
     # post cleanup (pymeshlab-equivalent, generate_uncond.py:117-122)
     final_laplacian_iters: int = 0
     min_component_faces: int = 0
@@ -231,15 +303,31 @@ def get_mesh_from_udf(
     times["grid_fill"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    lo_, hi_ = cfg.coords_range
     if grad_fn is None:
-        grad_fn = (
-            getattr(udf_fn, "grad_i8_fn", None)  # int8 unit directions: 12× less d2h
-            or getattr(udf_fn, "grad_fn", None)
-            or make_grad_fn(udf_fn)
-        )
-    # Gradients are evaluated lazily at exactly the grid nodes marching
-    # touches — no dense (R³, 3) gradient grid is built or transferred.
-    grad_at = lambda pts: eval_in_chunks(grad_fn, pts, cfg.max_batch)
+        gid_bound = getattr(udf_fn, "grad_i8_gid_bound", None)
+        if gid_bound is not None:
+            # int32 flat-gid upload (3x smaller than f32 positions; h2d runs
+            # throttled after the pipeline's first d2h) + int8 unit downloads
+            voxel = (hi_ - lo_) / (cfg.resolution - 1)
+            gid_fn = gid_bound(cfg.resolution, lo_, voxel)
+            grad_fn = lambda gids: eval_in_chunks(
+                gid_fn, np.ascontiguousarray(gids, np.int32), cfg.max_batch
+            )
+            grad_fn.by_gid = True
+        else:
+            grad_fn = (
+                getattr(udf_fn, "grad_i8_fn", None)  # int8 units: 12× less d2h
+                or getattr(udf_fn, "grad_fn", None)
+                or make_grad_fn(udf_fn)
+            )
+    if getattr(grad_fn, "by_gid", False):
+        grad_at = grad_fn
+    else:
+        # Gradients are evaluated lazily at exactly the grid nodes marching
+        # touches — no dense (R³, 3) gradient grid is built or transferred.
+        grad_at = lambda pts: eval_in_chunks(grad_fn, pts, cfg.max_batch)
+        grad_at.by_gid = False
     mesh = marching_tetrahedra_udf(grid, grad_at, cfg.coords_range, times=times)
     times["marching"] = time.perf_counter() - t0
     stats["raw_faces"] = len(mesh.faces)
@@ -254,9 +342,24 @@ def get_mesh_from_udf(
         # the whole cleanup chain (hole fill, border smoothing, vertex merge).
         t0 = time.perf_counter()
         pts, einv = native.face_filter_prep(mesh.vertices, mesh.faces)
+        times["ff_prep"] = round(time.perf_counter() - t0, 3)
         threshold = cfg.face_filter_mult / cfg.resolution
+        q16_bound = getattr(udf_fn, "below_packed_q16_bound", None)
+        packed_bound = getattr(udf_fn, "below_packed_bound", None)
         below_bound = getattr(udf_fn, "below_bound", None)
-        if below_bound is not None:
+        if q16_bound is not None and cfg.quantized_filter_points:
+            # uint16 coords (half the upload) + packed-bit mask download;
+            # quantization half-step 1.5e-5 ≈ 0.8% of the 1/512 threshold
+            qstep = (hi_ - lo_) / 65535.0
+            qpts = np.clip(
+                np.rint((pts - lo_) * (1.0 / qstep)), 0, 65535
+            ).astype(np.uint16)
+            ok = eval_in_chunks(
+                q16_bound(threshold, lo_, qstep), qpts, cfg.max_batch, unpack_bits=True
+            )
+        elif packed_bound is not None:
+            ok = eval_in_chunks(packed_bound(threshold), pts, cfg.max_batch, unpack_bits=True)
+        elif below_bound is not None:
             ok = eval_in_chunks(below_bound(threshold), pts, cfg.max_batch)
         else:
             ok = (eval_in_chunks(udf_fn, pts, cfg.max_batch) <= threshold).astype(
