@@ -41,6 +41,17 @@ class MDM(nn.Module):
     use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    @property
+    def null_action(self) -> int:
+        """Dedicated unconditional class id for CFG (one past the real classes).
+
+        The reference's `y['uncond']=True` path (cfg_sampler.py:18-26) zeroes
+        the conditioning payload; aliasing class 0 for that would conflate
+        "unconditional" with the first garment class, so we reserve an extra
+        embedding row instead (zero-padded when converting reference ckpts).
+        """
+        return self.num_actions
+
     def setup(self):
         if self.cond_mode not in COND_MODES:
             raise ValueError(f"cond_mode must be one of {COND_MODES}, got {self.cond_mode}")
@@ -51,7 +62,7 @@ class MDM(nn.Module):
             num_res_blocks=self.num_res_blocks,
             attention_resolutions=(4, 2, 1),
             channel_mult=self.channel_mult,
-            num_classes=self.num_actions if self.cond_mode == "category" else None,
+            num_classes=self.num_actions + 1 if self.cond_mode == "category" else None,
             num_heads=self.num_heads,
             context_dim=self.clip_dim,
             use_remat=self.use_remat,
@@ -102,9 +113,15 @@ def make_cfg_model_fn(model: MDM, params, guidance_scale: float, *, context=None
         return guided
 
     if model.cond_mode == "category":
+        # Single batched pass: stack [action, null_action] along batch.
         def guided(x, t):
-            out_cond = model.apply(params, x, t, action=action)
-            out_uncond = model.apply(params, x, t, action=jnp.zeros_like(action))
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            a2 = jnp.concatenate(
+                [action, jnp.full_like(action, model.null_action)], axis=0
+            )
+            out = model.apply(params, x2, t2, action=a2)
+            out_cond, out_uncond = jnp.split(out, 2, axis=0)
             return out_uncond + guidance_scale * (out_cond - out_uncond)
 
         return guided

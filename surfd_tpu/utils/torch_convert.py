@@ -159,7 +159,13 @@ def convert_mdm_unet(sd: Dict, model_channels: int = 224,
         "out_conv": _conv3(sd, "out.2"),
     }
     if "label_emb.weight" in sd:
-        unet["label_emb"] = {"embedding": _np(sd["label_emb.weight"])}
+        # Our category model reserves one extra row (MDM.null_action) as the
+        # CFG unconditional class; the reference has no such row, so pad with
+        # zeros (a zero embedding adds nothing to the time embedding — the
+        # same effect as the reference's nulled payload, cfg_sampler.py:18-26).
+        emb = _np(sd["label_emb.weight"])
+        emb = np.concatenate([emb, np.zeros((1, emb.shape[1]), emb.dtype)], axis=0)
+        unet["label_emb"] = {"embedding": emb}
     if "sketch_emb.weight" in sd:
         unet["context_proj"] = _dense(sd, "sketch_emb")
 
