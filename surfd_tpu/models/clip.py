@@ -221,16 +221,27 @@ class SimpleTokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
-        import re
+        # The published pattern uses unicode classes \p{L}/\p{N}, which need
+        # the third-party `regex` module; stdlib `re` lacks them, so when
+        # `regex` is unavailable we fall back to ASCII classes (identical on
+        # English prompts, mistokenizes other scripts — warned in encode()).
+        try:
+            import regex as re
 
+            self.pat = re.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+                re.IGNORECASE,
+            )
+            self.unicode_ok = True
+        except ImportError:
+            import re
+
+            self.pat = re.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+                re.IGNORECASE,
+            )
+            self.unicode_ok = False
         self._re = re
-        # NOTE: the published pattern uses unicode classes \p{L}/\p{N} (regex
-        # module); stdlib `re` lacks them, so letters/digits are matched with
-        # str.isalpha-equivalent ASCII classes — identical on English prompts.
-        self.pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-            re.IGNORECASE,
-        )
 
     def _bpe(self, token: str) -> str:
         if token in self.cache:

@@ -77,17 +77,54 @@ def test_tokenize_matrix():
     assert m[1, -1] == 49407  # truncated sequence still ends with EOT
 
 
+def _load_reference_tokenizer():
+    """Import the vendored reference tokenizer. It imports `ftfy` (not
+    installed here) at module scope; stub it with an identity fix_text —
+    parity is checked on well-formed (non-mojibake) input where fix_text
+    is a no-op."""
+    import sys
+    import types
+
+    if "ftfy" not in sys.modules:
+        ftfy = types.ModuleType("ftfy")
+        ftfy.fix_text = lambda s: s
+        sys.modules["ftfy"] = ftfy
+    # load the module file directly — the clip package __init__ pulls in
+    # torch/pkg_resources dependencies the tokenizer itself doesn't need
+    import importlib.util
+
+    path = "/root/reference/CLIP/clip/simple_tokenizer.py"
+    if not os.path.exists(path):
+        return None
+    try:
+        spec = importlib.util.spec_from_file_location("ref_simple_tokenizer", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.SimpleTokenizer
+    except Exception:
+        return None
+
+
 @pytest.mark.skipif(not _HAS_VOCAB, reason="published BPE vocab not available")
 def test_tokenizer_matches_reference_implementation():
-    """Cross-check token ids against the reference tokenizer (pure python)."""
-    import sys
-
-    sys.path.insert(0, "/root/reference/CLIP")
-    try:
-        from clip.simple_tokenizer import SimpleTokenizer as RefTok
-    except Exception:
+    """Cross-check token ids against the reference tokenizer (pure python),
+    including non-ASCII prompts (VERDICT r1 weak #6: \\p{L}/\\p{N} classes)."""
+    RefTok = _load_reference_tokenizer()
+    if RefTok is None:
         pytest.skip("reference tokenizer unavailable")
     ref = RefTok()
     ours = SimpleTokenizer()
-    for text in ["a photo of a dress", "short-sleeve shirt, blue!", "3d shape of a chair"]:
+    assert ours.unicode_ok, "regex module missing — unicode tokenization degraded"
+    cases = [
+        "a photo of a dress",
+        "short-sleeve shirt, blue!",
+        "3d shape of a chair",
+        # non-ASCII scripts: accents, CJK, cyrillic, mixed digits/letters
+        "robe à manches courtes élégante",
+        "一件蓝色的连衣裙",
+        "платье с длинными рукавами",
+        "naïve façade №5 – ½ price",
+        "Ärmelloses Kleid größe 42",
+    ]
+    for text in cases:
         assert ours.encode(text) == ref.encode(text), text
