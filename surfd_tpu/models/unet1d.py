@@ -93,7 +93,12 @@ class Downsample1D(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.use_conv:
-            return conv1d(self.out_channels, 3, stride=2, name="op")(x)
+            # torch pads (1,1) for k=3/s=2 (openaimodel Downsample); flax
+            # "SAME" would pad (0,1) for even lengths — a one-sample shift
+            return nn.Conv(
+                self.out_channels, kernel_size=(3,), strides=(2,),
+                padding=((1, 1),), name="op",
+            )(x)
         return nn.avg_pool(x, (2,), (2,))
 
 

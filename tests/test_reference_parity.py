@@ -1,0 +1,211 @@
+"""True numerical parity against the ACTUAL reference torch modules.
+
+VERDICT r1 missing #2: the round-1 converter tests synthesized their torch
+state dicts by inverting the converter layout — circular. These tests import
+the reference sources from /root/reference (mounted read-only), random-init
+the real torch modules, convert their state_dicts through
+surfd_tpu.utils.torch_convert, and assert the forward outputs of our Flax
+re-implementations match within fp32 tolerance:
+
+  * UNetModel (dims=1)  — /root/reference/models/openaimodel.py:413-749
+  * Dgcnn               — /root/reference/AutoEncoder/models/dgcnn.py:27-115
+                          (pytorch3d kNN shimmed with brute-force torch)
+  * CLIP towers         — /root/reference/CLIP/clip/model.py:243-436
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from surfd_tpu.models import MDM, Dgcnn
+from surfd_tpu.models.clip import Clip, convert_torch_clip_state_dict
+from surfd_tpu.utils.torch_convert import convert_dgcnn, convert_mdm_unet
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference repo not mounted"
+)
+
+
+def _load_ref_module(name: str, relpath: str):
+    """Load a reference source file as a module, bypassing package __init__s
+    (some pull unavailable deps like pkg_resources/ftfy/pytorch3d)."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)  # for its absolute imports (utils.ldm_utils, ...)
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _shim_pytorch3d():
+    """pytorch3d is CUDA-only and absent; provide brute-force knn_points /
+    knn_gather with the exact semantics Dgcnn uses (dgcnn.py:5,20,86):
+    ascending-distance sorted neighbor indices, self at slot 0."""
+    if "pytorch3d" in sys.modules:
+        return
+
+    def knn_points(p1, p2, K, **kw):
+        d = torch.cdist(p1, p2) ** 2
+        dists, idx = d.topk(K, dim=-1, largest=False)
+        return dists, idx, None
+
+    def knn_gather(x, idx):
+        B, N, K = idx.shape
+        D = x.shape[-1]
+        flat = idx.reshape(B, N * K, 1).expand(-1, -1, D)
+        return x.gather(1, flat).reshape(B, N, K, D)
+
+    pkg = types.ModuleType("pytorch3d")
+    ops = types.ModuleType("pytorch3d.ops")
+    ops.knn_points = knn_points
+    ops.knn_gather = knn_gather
+    pkg.ops = ops
+    sys.modules["pytorch3d"] = pkg
+    sys.modules["pytorch3d.ops"] = ops
+
+
+def _randomize_buffers(module, gen):
+    """Perturb BatchNorm running stats / affine params so eval-mode parity
+    actually exercises the converted statistics (fresh init is all-0/1)."""
+    with torch.no_grad():
+        for m in module.modules():
+            if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=gen) * 0.2)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=gen) + 0.5)
+                if m.affine:
+                    m.weight.copy_(torch.randn(m.weight.shape, generator=gen) * 0.2 + 1.0)
+                    m.bias.copy_(torch.randn(m.bias.shape, generator=gen) * 0.2)
+
+
+def test_unet1d_forward_parity_vs_reference():
+    """Our UNet1D vs the reference UNetModel(dims=1) on a small config that
+    still hits every structural element of the Surf-D 224ch setup: two levels,
+    attention at ds∈{1,2}, strided downsample, nearest upsample, additive
+    context injection, class embedding unused."""
+    openaimodel = _load_ref_module("ref_openaimodel", "models/openaimodel.py")
+
+    torch.manual_seed(0)
+    ref = openaimodel.UNetModel(
+        in_channels=1,
+        model_channels=32,
+        out_channels=1,
+        num_res_blocks=1,
+        attention_resolutions=(1, 2),
+        dropout=0.0,
+        channel_mult=(1, 2),
+        dims=1,
+        num_heads=8,  # the MDM/Surf-D setting (mdm.py:49)
+        context_dim=512,
+        use_spatial_transformer=False,
+    ).eval()
+    # zero_module() zeroes each out_conv/proj_out — perturb so the converted
+    # path is exercised with non-degenerate weights
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.abs().sum() == 0:
+                p.add_(torch.randn(p.shape, generator=gen) * 0.05)
+
+    sd = ref.state_dict()
+    converted = convert_mdm_unet(sd, model_channels=32, channel_mult=(1, 2), num_res_blocks=1)
+
+    mdm = MDM(cond_mode="sketch", model_channels=32, channel_mult=(1, 2), num_res_blocks=1)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 32, 1)).astype(np.float32)  # ours: (B, L, C)
+    t = np.array([7, 423], np.int64)
+    ctx = rng.normal(size=(2, 512)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x.transpose(0, 2, 1)),  # torch: (B, C, L)
+            torch.from_numpy(t),
+            context=torch.from_numpy(ctx),
+        ).numpy().transpose(0, 2, 1)
+
+    ours = mdm.apply(
+        {"params": jax.tree.map(jnp.asarray, converted["params"])},
+        jnp.asarray(x), jnp.asarray(t.astype(np.int32)), context=jnp.asarray(ctx),
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_dgcnn_forward_parity_vs_reference():
+    _shim_pytorch3d()
+    ref_mod = _load_ref_module("ref_dgcnn", "AutoEncoder/models/dgcnn.py")
+
+    torch.manual_seed(0)
+    ref = ref_mod.Dgcnn(size_latent=32, k=8).eval()
+    _randomize_buffers(ref, torch.Generator().manual_seed(2))
+
+    converted = convert_dgcnn(ref.state_dict())
+    ours_model = Dgcnn(size_latent=32, k=8)
+
+    rng = np.random.default_rng(3)
+    pcd = rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(pcd)).numpy()
+
+    ours = ours_model.apply(jax.tree.map(jnp.asarray, converted), jnp.asarray(pcd))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_clip_towers_forward_parity_vs_reference():
+    """Both CLIP towers at the real ViT-B/32 configuration vs the vendored
+    reference CLIP class (random init, fp32, eval)."""
+    ref_mod = _load_ref_module("ref_clip_model", "CLIP/clip/model.py")
+
+    torch.manual_seed(0)
+    ref = ref_mod.CLIP(
+        embed_dim=512,
+        image_resolution=224,
+        vision_layers=12,
+        vision_width=768,
+        vision_patch_size=32,
+        context_length=77,
+        vocab_size=49408,
+        transformer_width=512,
+        transformer_heads=8,
+        transformer_layers=12,
+    ).float().eval()
+    # randomize LayerNorm affines (default 1/0 would hide transpose bugs)
+    gen = torch.Generator().manual_seed(4)
+    with torch.no_grad():
+        for name, m in ref.named_modules():
+            if isinstance(m, torch.nn.LayerNorm):
+                m.weight.copy_(torch.randn(m.weight.shape, generator=gen) * 0.1 + 1.0)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=gen) * 0.1)
+
+    variables = jax.tree.map(jnp.asarray, convert_torch_clip_state_dict(ref.state_dict()))
+    ours = Clip()
+
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+    tok = np.zeros((1, 77), np.int64)
+    tok[0, 0] = 49406
+    tok[0, 1:5] = [100, 531, 7464, 222]
+    tok[0, 5] = 49407  # EOT = argmax position
+
+    with torch.no_grad():
+        ref_img = ref.encode_image(torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+        ref_txt = ref.encode_text(torch.from_numpy(tok)).numpy()
+
+    ours_img = ours.encode_image(variables, jnp.asarray(img))
+    ours_txt = ours.encode_text(variables, jnp.asarray(tok.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(ours_img), ref_img, rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ours_txt), ref_txt, rtol=1e-3, atol=2e-3)
