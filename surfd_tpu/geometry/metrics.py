@@ -9,45 +9,40 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # scipy's KD-tree makes the metrics usable at full 512³-mesh scale
+    from scipy.spatial import cKDTree as _KDTree
+except ImportError:  # pragma: no cover - scipy is present in this env
+    _KDTree = None
+
+
+def _nn_dists(x: np.ndarray, y: np.ndarray, chunk: int) -> np.ndarray:
+    """Euclidean distance from each point of x to its nearest neighbor in y."""
+    if _KDTree is not None and (len(x) * len(y)) > 1_000_000:
+        d, _ = _KDTree(y).query(x, k=1)
+        return np.asarray(d, np.float64)
+    mins = []
+    for i in range(0, len(x), chunk):
+        d = ((x[i : i + chunk, None, :] - y[None, :, :]) ** 2).sum(-1)
+        mins.append(np.sqrt(d.min(axis=1)))
+    return np.concatenate(mins) if mins else np.zeros((0,))
+
 
 def chamfer_distance(a: np.ndarray, b: np.ndarray, chunk: int = 4096) -> float:
     """Symmetric Chamfer-L2: mean squared nearest-neighbor distance, both ways."""
-
-    def one_sided(x, y):
-        mins = []
-        for i in range(0, len(x), chunk):
-            d = ((x[i : i + chunk, None, :] - y[None, :, :]) ** 2).sum(-1)
-            mins.append(d.min(axis=1))
-        return float(np.concatenate(mins).mean())
-
-    return one_sided(a, b) + one_sided(b, a)
+    da = _nn_dists(a, b, chunk)
+    db = _nn_dists(b, a, chunk)
+    return float((da**2).mean() + (db**2).mean())
 
 
 def hausdorff_distance(a: np.ndarray, b: np.ndarray, chunk: int = 4096) -> float:
     """Symmetric Hausdorff (max of directed nearest-neighbor distances)."""
-
-    def one_sided(x, y):
-        worst = 0.0
-        for i in range(0, len(x), chunk):
-            d = np.sqrt(((x[i : i + chunk, None, :] - y[None, :, :]) ** 2).sum(-1))
-            worst = max(worst, float(d.min(axis=1).max()))
-        return worst
-
-    return max(one_sided(a, b), one_sided(b, a))
+    return float(max(_nn_dists(a, b, chunk).max(), _nn_dists(b, a, chunk).max()))
 
 
 def f_score(a: np.ndarray, b: np.ndarray, threshold: float = 0.01, chunk: int = 4096) -> float:
     """F-score at a distance threshold (precision/recall of surface samples)."""
-
-    def fraction_within(x, y):
-        hits = 0
-        for i in range(0, len(x), chunk):
-            d = np.sqrt(((x[i : i + chunk, None, :] - y[None, :, :]) ** 2).sum(-1))
-            hits += int((d.min(axis=1) < threshold).sum())
-        return hits / max(len(x), 1)
-
-    precision = fraction_within(a, b)
-    recall = fraction_within(b, a)
+    precision = float((_nn_dists(a, b, chunk) < threshold).mean()) if len(a) else 0.0
+    recall = float((_nn_dists(b, a, chunk) < threshold).mean()) if len(b) else 0.0
     if precision + recall == 0:
         return 0.0
     return 2 * precision * recall / (precision + recall)
