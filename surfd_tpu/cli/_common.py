@@ -39,6 +39,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--min_component_faces", type=int, default=2500)
     ap.add_argument("--smooth_iters", type=int, default=3)
     ap.add_argument("--max_batch", type=int, default=2**17)
+    ap.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard the UDF grid-query stream over all devices ('data' mesh axis)",
+    )
     return ap
 
 
@@ -134,12 +138,20 @@ def run_generation(args, cond_mode: str, context=None, action=None, tag: str = "
     latents.block_until_ready()
     print(f"sampled {args.num_samples} latents in {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 
+    mesh_axes = None
+    if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
+        from ..parallel import make_mesh
+
+        mesh_axes = make_mesh(data=len(jax.devices()), model=1)
+        print(f"grid-query stream sharded over {len(jax.devices())} devices", file=sys.stderr)
+
     os.makedirs(args.output_dir, exist_ok=True)
     cfg = MeshExtractionConfig(
         resolution=args.resolution,
         max_batch=args.max_batch,
         min_component_faces=args.min_component_faces,
         final_laplacian_iters=args.smooth_iters,
+        mesh=mesh_axes,
     )
     out_paths = []
     for k in range(args.num_samples):

@@ -51,33 +51,53 @@ GradFn = Callable[[jnp.ndarray], jnp.ndarray]  # (P, 3) -> (P, 3)
 _FUSED_CACHE: dict = {}
 
 
-def _fused_map(fn, chunk: int):
+def _make_mapped(base_fn, mesh):
+    """jitted (args, (K, chunk, ...)) → (K, chunk, ...) runner.
+
+    With a mesh, the slab axis K is sharded over 'data' via shard_map — each
+    device lax.maps its own K/n slabs concurrently (SURVEY §2.10: the 512³
+    grid-query stream IS the workload's long axis; sharding it is the SP/CP
+    equivalent for this model family)."""
+    if mesh is None:
+        @jax.jit
+        def mapped_args(a, x):
+            return jax.lax.map(lambda s: base_fn(a, s), x)
+
+        return mapped_args
+
+    from jax.sharding import PartitionSpec as P
+
+    @jax.jit
+    def mapped_args(a, x):
+        def body(a_, xs):
+            return jax.lax.map(lambda s: base_fn(a_, s), xs)
+
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data")
+        )(a, x)
+
+    return mapped_args
+
+
+def _fused_map(fn, chunk: int, mesh=None):
     stable = getattr(fn, "stable", None)
     if stable is not None:
         base_fn, args = stable
-        key = (id(base_fn), chunk)
-        hit = _FUSED_CACHE.get(key)
-        if hit is None:
-            @jax.jit
-            def mapped_args(a, x):
-                return jax.lax.map(lambda s: base_fn(a, s), x)
-
-            _FUSED_CACHE[key] = (mapped_args, base_fn)
-            hit = _FUSED_CACHE[key]
-        mapped_args = hit[0]
-        return lambda x: mapped_args(args, x)
-
-    key = (id(fn), chunk)
+    else:
+        base_fn, args = (lambda _, s: fn(s)), ()
+        # key plain fns on the fn object itself (base_fn above is fresh)
+        stable_key = fn
+    key = (
+        id(base_fn if stable is not None else stable_key),
+        chunk,
+        id(mesh) if mesh is not None else None,
+    )
     hit = _FUSED_CACHE.get(key)
-    if hit is not None:
-        return hit[0]
-
-    @jax.jit
-    def mapped(x):  # (K, chunk, ...) → (K, chunk, ...)
-        return jax.lax.map(fn, x)
-
-    _FUSED_CACHE[key] = (mapped, fn)
-    return mapped
+    if hit is None:
+        hit = (_make_mapped(base_fn, mesh), base_fn, fn)
+        _FUSED_CACHE[key] = hit
+    mapped_args = hit[0]
+    return lambda x: mapped_args(args, x)
 
 
 def _next_pow2(n: int) -> int:
@@ -94,7 +114,7 @@ def _next_bucket(n: int) -> int:
     return three_q if three_q >= n else p
 
 
-def eval_in_chunks(fn, pts, chunk: int, unpack_bits: bool = False) -> np.ndarray:
+def eval_in_chunks(fn, pts, chunk: int, unpack_bits: bool = False, mesh=None) -> np.ndarray:
     """Evaluate a jitted device fn over (P, ...) points in fixed-size chunks.
 
     Transfer/dispatch discipline (the axon tunnel costs ~100-300 ms latency
@@ -107,6 +127,9 @@ def eval_in_chunks(fn, pts, chunk: int, unpack_bits: bool = False) -> np.ndarray
     unpack_bits: fn returns a packed bitmask (chunk//8 uint8 per chunk,
     jnp.packbits order) — download 1 bit per point and np.unpackbits on host
     (the tunnel's d2h path is the slow direction).
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis — the slab axis is
+    sharded over it and devices evaluate their slabs concurrently.
     """
     P = pts.shape[0]
     if P == 0:
@@ -116,6 +139,9 @@ def eval_in_chunks(fn, pts, chunk: int, unpack_bits: bool = False) -> np.ndarray
         return np.zeros((0,) + probe.shape[1:], probe.dtype)
     chunk = min(chunk, _next_pow2(P))
     n_chunks = _next_bucket(math.ceil(P / chunk))
+    if mesh is not None:
+        nd = mesh.shape["data"]
+        n_chunks = ((n_chunks + nd - 1) // nd) * nd
     pad = n_chunks * chunk - P
     if isinstance(pts, np.ndarray):
         if pad:
@@ -124,7 +150,11 @@ def eval_in_chunks(fn, pts, chunk: int, unpack_bits: bool = False) -> np.ndarray
     else:
         pts_dev = jnp.pad(pts, ((0, pad),) + ((0, 0),) * (pts.ndim - 1)) if pad else pts
     slabs = pts_dev.reshape((n_chunks, chunk) + pts_dev.shape[1:])
-    out = _fused_map(fn, chunk)(slabs)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        slabs = jax.device_put(slabs, NamedSharding(mesh, PartitionSpec("data")))
+    out = _fused_map(fn, chunk, mesh)(slabs)
     if unpack_bits:
         host = np.asarray(out)  # (n_chunks, ceil(chunk/8)) uint8
         bits = np.unpackbits(host.reshape(n_chunks, -1), axis=1)[:, :chunk]
@@ -146,8 +176,9 @@ def make_grad_fn(udf_fn: UdfFn) -> GradFn:
 
     @jax.jit
     def grad_fn(pts):
-        _, vjp_fn = jax.vjp(udf_fn, pts)
-        (g,) = vjp_fn(jnp.ones(pts.shape[:-1], pts.dtype))
+        primal, vjp_fn = jax.vjp(udf_fn, pts)
+        # primal-derived cotangent: keeps the varying-axis type under shard_map
+        (g,) = vjp_fn(primal * 0 + 1)
         return g
 
     return grad_fn
@@ -289,12 +320,14 @@ class GridFiller:
         max_batch: int = 2**19,
         max_dist: float = 0.1,
         band_mult: float = 2.5,
+        mesh=None,
     ):
         self.N = resolution
         self.lo, self.hi = coords_range
         self.max_batch = max_batch
         self.max_dist = max_dist
         self.band_mult = band_mult
+        self.mesh = mesh  # optional Mesh: shard the query stream over 'data'
         self.spacing = (self.hi - self.lo) / (resolution - 1)
         if block is None:
             block = auto_block_size(resolution, self.spacing, max_dist, band_mult)
@@ -330,7 +363,9 @@ class GridFiller:
                 }
             return grid
 
-        coarse = eval_in_chunks(udf_fn, self._block_centers, min(self.max_batch, nb**3))
+        coarse = eval_in_chunks(
+            udf_fn, self._block_centers, min(self.max_batch, nb**3), mesh=self.mesh
+        )
         coarse = coarse.reshape(nb, nb, nb)
         active = coarse < self.threshold  # (nb, nb, nb)
         ab = np.argwhere(active)  # (M, 3) active block coords
@@ -345,7 +380,8 @@ class GridFiller:
             sub_thr = 0.5 * math.sqrt(3.0) * B2 * self.spacing + self.band_mult * self.spacing
             centers_fn = _get_subcenter_fn(udf_fn, B, B2, self.spacing, self.lo)
             sub_vals = eval_in_chunks(
-                centers_fn, ab.astype(np.int32), max(self.max_batch // n_sub**3, 1)
+                centers_fn, ab.astype(np.int32),
+                max(self.max_batch // n_sub**3, 1), mesh=self.mesh,
             ).reshape(len(ab), n_sub, n_sub, n_sub)
             # sub-block coords in B2 units
             sub_idx = np.argwhere(sub_vals < sub_thr)
@@ -364,7 +400,7 @@ class GridFiller:
             fine_fn = u16_fn if u16_fn is not None else udf_fn
             block_udf = _get_block_fn(fine_fn, B, self.spacing, self.lo)
             M = len(ab)
-            vals = eval_in_chunks(block_udf, ab.astype(np.int32), blocks_per_chunk)
+            vals = eval_in_chunks(block_udf, ab.astype(np.int32), blocks_per_chunk, mesh=self.mesh)
             vals = vals.reshape(M, B, B, B)
             if u16_fn is not None:
                 vals = vals.astype(np.float32) * np.float32(self.max_dist / 65535.0)
@@ -401,7 +437,7 @@ class GridFiller:
         if len(idx) == 0:
             return grads
         pts = self._xs[idx].astype(np.float32)
-        g = eval_in_chunks(grad_fn, pts, self.max_batch)
+        g = eval_in_chunks(grad_fn, pts, self.max_batch, mesh=self.mesh)
         grads[idx[:, 0], idx[:, 1], idx[:, 2]] = g
         return grads
 

@@ -173,8 +173,10 @@ def _decoder_eval_fns(decoder: CbnDecoder, max_dist: float):
         return jnp.packbits(below_base((variables, lat, thr), pts))
 
     def grad_base(args, pts):
-        _, vjp_fn = jax.vjp(lambda p: udf_base(args, p), pts)
-        (g,) = vjp_fn(jnp.ones(pts.shape[:-1], pts.dtype))
+        primal, vjp_fn = jax.vjp(lambda p: udf_base(args, p), pts)
+        # cotangent derived from the primal so it carries the same sharding/
+        # varying-axis type under shard_map (a fresh jnp.ones does not)
+        (g,) = vjp_fn(primal * 0 + 1)
         return g
 
     def grad_i8_base(args, pts):
@@ -278,6 +280,9 @@ class MeshExtractionConfig:
     # post cleanup (pymeshlab-equivalent, generate_uncond.py:117-122)
     final_laplacian_iters: int = 0
     min_component_faces: int = 0
+    # optional jax.sharding.Mesh with a 'data' axis: the grid-query stream
+    # (coarse/fine fill, gradients, face filter) is sharded across its devices
+    mesh: object = None
 
 
 def get_mesh_from_udf(
@@ -298,6 +303,7 @@ def get_mesh_from_udf(
         cfg.coords_range,
         max_batch=cfg.max_batch,
         max_dist=cfg.max_dist,
+        mesh=cfg.mesh,
     )
     grid, stats = gf.fill(udf_fn, return_stats=True)
     times["grid_fill"] = time.perf_counter() - t0
@@ -312,7 +318,8 @@ def get_mesh_from_udf(
             voxel = (hi_ - lo_) / (cfg.resolution - 1)
             gid_fn = gid_bound(cfg.resolution, lo_, voxel)
             grad_fn = lambda gids: eval_in_chunks(
-                gid_fn, np.ascontiguousarray(gids, np.int32), cfg.max_batch
+                gid_fn, np.ascontiguousarray(gids, np.int32), cfg.max_batch,
+                mesh=cfg.mesh,
             )
             grad_fn.by_gid = True
         else:
@@ -326,7 +333,7 @@ def get_mesh_from_udf(
     else:
         # Gradients are evaluated lazily at exactly the grid nodes marching
         # touches — no dense (R³, 3) gradient grid is built or transferred.
-        grad_at = lambda pts: eval_in_chunks(grad_fn, pts, cfg.max_batch)
+        grad_at = lambda pts: eval_in_chunks(grad_fn, pts, cfg.max_batch, mesh=cfg.mesh)
         grad_at.by_gid = False
     mesh = marching_tetrahedra_udf(grid, grad_at, cfg.coords_range, times=times)
     times["marching"] = time.perf_counter() - t0
@@ -355,16 +362,20 @@ def get_mesh_from_udf(
                 np.rint((pts - lo_) * (1.0 / qstep)), 0, 65535
             ).astype(np.uint16)
             ok = eval_in_chunks(
-                q16_bound(threshold, lo_, qstep), qpts, cfg.max_batch, unpack_bits=True
+                q16_bound(threshold, lo_, qstep), qpts, cfg.max_batch,
+                unpack_bits=True, mesh=cfg.mesh,
             )
         elif packed_bound is not None:
-            ok = eval_in_chunks(packed_bound(threshold), pts, cfg.max_batch, unpack_bits=True)
-        elif below_bound is not None:
-            ok = eval_in_chunks(below_bound(threshold), pts, cfg.max_batch)
-        else:
-            ok = (eval_in_chunks(udf_fn, pts, cfg.max_batch) <= threshold).astype(
-                np.uint8
+            ok = eval_in_chunks(
+                packed_bound(threshold), pts, cfg.max_batch,
+                unpack_bits=True, mesh=cfg.mesh,
             )
+        elif below_bound is not None:
+            ok = eval_in_chunks(below_bound(threshold), pts, cfg.max_batch, mesh=cfg.mesh)
+        else:
+            ok = (
+                eval_in_chunks(udf_fn, pts, cfg.max_batch, mesh=cfg.mesh) <= threshold
+            ).astype(np.uint8)
         times["face_filter"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -424,7 +435,8 @@ def get_watertight_mesh_from_udf(
     from ..geometry import keep_largest_component
 
     gf = GridFiller(
-        cfg.resolution, cfg.coords_range, max_batch=cfg.max_batch, max_dist=cfg.max_dist
+        cfg.resolution, cfg.coords_range, max_batch=cfg.max_batch,
+        max_dist=cfg.max_dist, mesh=cfg.mesh,
     )
     grid = gf.fill(udf_fn)
     mesh = marching_tetrahedra(grid, iso=iso, coords_range=cfg.coords_range)

@@ -231,3 +231,98 @@ def test_train_then_sample_roundtrip():
     samples = p_sample_loop(sched, model_fn, (4, L, 1), jax.random.PRNGKey(3))
     err = np.abs(np.asarray(samples[..., 0]) - np.asarray(target)[None]).mean()
     assert err < 0.15, err
+
+
+def test_sharded_grid_eval_matches_single_device():
+    """VERDICT r1 next #6: the generation pipeline's grid-query stream shards
+    over a 'data' mesh; the extracted mesh must be identical to the
+    single-device result (embarrassingly parallel — SURVEY §2.10 SP/CP row)."""
+    from surfd_tpu.parallel import make_mesh
+    from surfd_tpu.pipelines import MeshExtractionConfig, get_mesh_from_udf, make_udf_fn
+
+    decoder = CbnDecoder(latent_dim=8, hidden_dim=32, num_hidden_layers=2)
+    ce = CoordsEncoder()
+    latent = jnp.ones((1, 8)) * 0.1
+    dv = decoder.init(jax.random.PRNGKey(0), ce.encode(jnp.zeros((1, 8, 3))), latent)
+    # randomize so the random decoder produces some iso-surface
+    dv = jax.tree.map(
+        lambda a: a + 0.3 * jax.random.normal(jax.random.PRNGKey(3), a.shape, a.dtype)
+        if a.dtype == jnp.float32 else a,
+        dv,
+    )
+
+    def extract(mesh_obj):
+        udf_fn = make_udf_fn(decoder, dv, latent[0])
+        return get_mesh_from_udf(
+            udf_fn,
+            cfg=MeshExtractionConfig(
+                resolution=48, max_batch=2**12, filter_faces=True,
+                face_filter_mult=8.0, mesh=mesh_obj,
+            ),
+        )
+
+    single = extract(None)
+    sharded = extract(make_mesh(data=8, model=1, devices=jax.devices()[:8]))
+    np.testing.assert_array_equal(single.faces, sharded.faces)
+    np.testing.assert_allclose(single.vertices, sharded.vertices, atol=1e-6)
+
+
+def test_eval_in_chunks_sharded_matches():
+    """eval_in_chunks(mesh=...) returns exactly the single-device values."""
+    from surfd_tpu.geometry import eval_in_chunks
+    from surfd_tpu.parallel import make_mesh
+
+    f = jax.jit(lambda p: jnp.linalg.norm(p, axis=-1))
+    pts = np.random.default_rng(0).uniform(-1, 1, (5000, 3)).astype(np.float32)
+    a = eval_in_chunks(f, pts, 256)
+    mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    b = eval_in_chunks(f, pts, 256, mesh=mesh)
+    np.testing.assert_allclose(a, b, atol=0)
+
+
+def test_curriculum_validate_batched_matches_per_item(tmp_path):
+    """VERDICT r1 next #7: batched curriculum validation must select the same
+    samples as the per-item path (losses identical for any batch size)."""
+    from surfd_tpu.data import CurriculumState, UdfDataset
+    from surfd_tpu.training import (
+        AETrainConfig, curriculum_validate, init_ae, make_ae_eval_step,
+    )
+
+    rngn = np.random.default_rng(0)
+    d = tmp_path / "train"
+    d.mkdir()
+    for name in "abcdefg":
+        pcd = rngn.uniform(-1, 1, (64, 3)).astype(np.float32)
+        coords = rngn.uniform(-1, 1, (128, 3)).astype(np.float32)
+        labels = rngn.uniform(0, 0.1, (128,)).astype(np.float32)
+        grads = rngn.normal(size=(128, 3)).astype(np.float32)
+        np.savez(
+            d / f"{name}.npz", pcd=pcd, coords=coords, labels=labels,
+            gradients=grads,
+        )
+    ds = UdfDataset(str(tmp_path), "train")
+
+    cfg = AETrainConfig(latent_size=8, hidden_dim=32, num_hidden_layers=1)
+    encoder, decoder, params, stats = init_ae(
+        jax.random.PRNGKey(0), cfg, jnp.zeros((1, 32, 3)), jnp.zeros((1, 48, 3))
+    )
+    variables = {
+        "encoder": {"params": params["encoder"], "batch_stats": stats["encoder"]},
+        "decoder": {"params": params["decoder"], "batch_stats": stats["decoder"]},
+    }
+    eval_step = make_ae_eval_step(encoder, decoder)
+    comp = list(range(len(ds)))
+
+    losses_b1 = curriculum_validate(
+        eval_step, variables, ds, comp, 32, 48, np.random.default_rng(7), batch_size=1
+    )
+    losses_b4 = curriculum_validate(
+        eval_step, variables, ds, comp, 32, 48, np.random.default_rng(7), batch_size=4
+    )
+    np.testing.assert_allclose(losses_b1, losses_b4, rtol=1e-5, atol=1e-6)
+
+    c1 = CurriculumState(len(ds), [])
+    c1.add_easiest(comp, losses_b1, 3)
+    c4 = CurriculumState(len(ds), [])
+    c4.add_easiest(comp, losses_b4, 3)
+    assert c1.training_idxes == c4.training_idxes
