@@ -96,7 +96,11 @@ def main():
     )
 
     def run_val_and_grow():
-        """Validate the complement set, add the easiest (encdec.py:228-296)."""
+        """Validate the complement set, add the easiest (encdec.py:228-296).
+        Batched through one compiled eval — one dispatch per batch_size items
+        instead of one per item (the tunnel costs ~100 ms per dispatch)."""
+        from ..training import curriculum_validate
+
         comp = state_cur.complement
         if not comp:
             return
@@ -104,20 +108,10 @@ def main():
             "encoder": {"params": state.params["encoder"], "batch_stats": state.batch_stats["encoder"]},
             "decoder": {"params": state.params["decoder"], "batch_stats": state.batch_stats["decoder"]},
         }
-        losses = []
-        for i in comp:
-            item = dataset[i]
-            batch = {
-                "pcd": jnp.asarray(random_point_sampling(item["pcd"], args.num_points_pcd, np_rng))[None],
-                "coords": jnp.asarray(random_point_sampling(item["coords"], args.num_points_forward, np_rng))[None],
-            }
-            sel = random_point_sampling(
-                np.concatenate([item["coords"], item["labels"][:, None]], -1),
-                args.num_points_forward, np_rng,
-            )
-            batch["coords"] = jnp.asarray(sel[:, :3])[None]
-            batch["udf"] = jnp.asarray(sel[:, 3])[None]
-            losses.append(float(eval_step(variables, batch)[0]))
+        losses = curriculum_validate(
+            eval_step, variables, dataset, comp,
+            args.num_points_pcd, args.num_points_forward, np_rng, args.batch_size,
+        )
         state_cur.add_easiest(comp, losses, args.curriculum_add)
         state_cur.save(cur_path)
         logger.log_metrics({"curriculum_size": len(state_cur.training_idxes)}, int(state.step))

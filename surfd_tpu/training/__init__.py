@@ -4,6 +4,7 @@ from .ae_trainer import (
     AETrainConfig,
     init_ae,
     make_ae_apply_fns,
+    curriculum_validate,
     make_ae_eval_step,
     make_ae_train_step,
 )

@@ -155,6 +155,52 @@ def make_ae_eval_step(
     return eval_step
 
 
+def curriculum_validate(
+    eval_step,
+    variables,
+    dataset,
+    candidate_idxes,
+    num_points_pcd: int,
+    num_points_forward: int,
+    rng: np.random.Generator,
+    batch_size: int = 8,
+) -> list:
+    """Per-item validation losses over a candidate index set, batched.
+
+    The reference validates the complement set one item at a time
+    (encdec.py:228-296 with val batch_size 1 semantics); a per-item dispatch
+    costs a full device round trip (~100 ms on the tunnel), so thousands of
+    candidates per refresh would take minutes. Items are pre-sampled in index
+    order (rng draws identical for any batch size) and padded into fixed-size
+    batches through ONE compiled eval — the per-item losses are bitwise
+    independent of batch size (eval-mode BN, per-example kNN).
+    """
+    from ..data.datasets import random_point_sampling
+
+    items = []
+    for i in candidate_idxes:
+        item = dataset[i]
+        pcd = random_point_sampling(item["pcd"], num_points_pcd, rng)
+        sel = random_point_sampling(
+            np.concatenate([item["coords"], item["labels"][:, None]], -1),
+            num_points_forward, rng,
+        )
+        items.append((pcd, sel[:, :3], sel[:, 3]))
+
+    B = batch_size
+    padded = items + items[-1:] * ((-len(items)) % B)
+    losses: list = []
+    for s in range(0, len(padded), B):
+        chunk = padded[s : s + B]
+        batch = {
+            "pcd": jnp.asarray(np.stack([c[0] for c in chunk])),
+            "coords": jnp.asarray(np.stack([c[1] for c in chunk])),
+            "udf": jnp.asarray(np.stack([c[2] for c in chunk])),
+        }
+        losses.extend(np.asarray(eval_step(variables, batch)).tolist())
+    return losses[: len(items)]
+
+
 def init_ae(
     rng,
     cfg: AETrainConfig,
