@@ -29,6 +29,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--latent_size", type=int, default=32)
     ap.add_argument("--model_channels", type=int, default=224)
+    # decoder dims are hardcoded 512/5 in the reference (generate_uncond.py:58-65);
+    # exposed here so small-AE runs can round-trip
+    ap.add_argument("--decoder_hidden", type=int, default=512)
+    ap.add_argument("--decoder_layers", type=int, default=5)
     ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "plms"])
     ap.add_argument("--timestep_respacing", default="")
     ap.add_argument("--guidance_param", type=float, default=1.0)
@@ -94,7 +98,11 @@ def load_decoder(args):
     batch_stats) or random init."""
     from ..models import CbnDecoder, CoordsEncoder
 
-    decoder = CbnDecoder(latent_dim=args.latent_size, hidden_dim=512, num_hidden_layers=5)
+    decoder = CbnDecoder(
+        latent_dim=args.latent_size,
+        hidden_dim=getattr(args, "decoder_hidden", 512),
+        num_hidden_layers=getattr(args, "decoder_layers", 5),
+    )
     ce = CoordsEncoder()
     variables = decoder.init(
         jax.random.PRNGKey(1),

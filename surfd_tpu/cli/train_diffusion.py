@@ -117,7 +117,13 @@ def main():
         state = ck.restore(jax.tree.map(np.asarray, state))
         print(f"resumed at step {int(state.step)}", file=sys.stderr)
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    n_dev = len(jax.devices())
+    # DP needs the batch to split evenly over 'data' (reference requires the
+    # same of DDP world size, train_diffcloth.py:143)
+    mesh = make_mesh() if n_dev > 1 and args.batch_size % n_dev == 0 else None
+    if n_dev > 1 and mesh is None:
+        print(f"batch {args.batch_size} not divisible by {n_dev} devices; "
+              "running single-device", file=sys.stderr)
     logger = Logger(args.save_dir, formats=("stdout", "jsonl", "csv"))
 
     trainer = DiffusionTrainer(

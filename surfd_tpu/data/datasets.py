@@ -13,7 +13,6 @@ jitted step wants one contiguous batch anyway.
 
 from __future__ import annotations
 
-import csv
 import os
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence
@@ -102,10 +101,9 @@ class DiffusionDataset(UdfDataset):
         self.cond_mode = cond_mode
         self.captions: Dict[str, str] = {}
         if captions_csv:
-            with open(captions_csv) as f:
-                for row in csv.reader(f):
-                    if len(row) >= 2:
-                        self.captions[row[0]] = row[1]
+            from .manifests import load_text2shape_captions
+
+            self.captions = load_text2shape_captions(captions_csv)
         self.category_map = category_map or {}
 
     def __getitem__(self, i: int) -> dict:
@@ -114,7 +112,11 @@ class DiffusionDataset(UdfDataset):
         if self.cond_mode == "text":
             item["text"] = self.captions.get(fid, "")
         elif self.cond_mode == "category":
-            item["action"] = np.int32(self.category_map.get(fid, 0))
+            # garment ids key on the prefix before '-' (dataset.py:247-249)
+            cat = self.category_map.get(fid)
+            if cat is None:
+                cat = self.category_map.get(fid.split("-")[0], 0)
+            item["action"] = np.int32(cat)
         elif self.cond_mode in ("sketch", "img"):
             ctx_path = self.files[i].with_suffix(".context.npy")
             if ctx_path.exists():
