@@ -326,3 +326,34 @@ def test_curriculum_validate_batched_matches_per_item(tmp_path):
     c4 = CurriculumState(len(ds), [])
     c4.add_easiest(comp, losses_b4, 3)
     assert c1.training_idxes == c4.training_idxes
+
+
+def test_multihost_utils_single_host():
+    """Multihost helpers on one host: identity semantics, and the per-host
+    shard assembly path used for DP input loading (comm.py replacement)."""
+    from surfd_tpu.parallel import make_mesh
+    from surfd_tpu.parallel.multihost import (
+        all_gather_host,
+        broadcast_from_main,
+        global_batch_from_local,
+        initialize,
+        is_main_process,
+        process_count,
+        process_index,
+    )
+
+    initialize()  # no-op on one host
+    assert process_count() == 1
+    assert process_index() == 0
+    assert is_main_process()
+
+    mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    local = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
+    g = global_batch_from_local(mesh, local)
+    assert g["x"].shape == (16, 1)
+    np.testing.assert_array_equal(np.asarray(g["x"]), local["x"])
+
+    out = broadcast_from_main({"a": np.float32(3.5)})
+    assert float(out["a"]) == 3.5
+    gathered = all_gather_host(np.array([1, 2], np.int32))
+    assert np.asarray(gathered).reshape(-1).tolist()[-2:] == [1, 2]
