@@ -15,8 +15,10 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <thread>
@@ -63,6 +65,23 @@ struct TriRec {
 inline int64_t gid_of(int x, int y, int z, int R) {
     return ((int64_t)x * R + y) * R + z;
 }
+
+// SURFD_MT_PROFILE=1 prints per-phase timings of surfd_mt_emit to stderr.
+struct PhaseTimer {
+  bool on;
+  std::chrono::steady_clock::time_point t;
+  PhaseTimer() : on(std::getenv("SURFD_MT_PROFILE") != nullptr) { t = now(); }
+  static std::chrono::steady_clock::time_point now() {
+    return std::chrono::steady_clock::now();
+  }
+  void mark(const char* name) {
+    if (!on) return;
+    auto t2 = now();
+    std::fprintf(stderr, "[mt_emit] %-12s %.3f s\n", name,
+                 std::chrono::duration<double>(t2 - t).count());
+    t = t2;
+  }
+};
 
 // Flat-gid -> (x, y, z) decode, shift/mask when R is a power of two (the
 // production resolutions 128/256/512 all are; int64 div is ~20-40 cycles).
@@ -232,6 +251,7 @@ int64_t surfd_mt_emit(
     const int64_t* cube_ids, int64_t M, const int8_t* g8,
     float** out_verts, int64_t* out_nverts,
     int64_t** out_faces, int64_t* out_nfaces) {
+  PhaseTimer PT;
   const int64_t NV = (int64_t)R * R * R;
   const int Rm1 = R - 1;
   EdgeDeltas ED;
@@ -336,6 +356,7 @@ int64_t surfd_mt_emit(
     }
     for (auto& th : threads) th.join();
   }
+  PT.mark("emit_loop");
 
   int64_t T = 0;
   for (auto& v : tbuf) T += (int64_t)v.size();
@@ -359,7 +380,9 @@ int64_t surfd_mt_emit(
       }
     }
   }
+  PT.mark("flatten");
   surfd::radix_sort_kv(keyslot, (uint64_t)NV * 32);
+  PT.mark("radix_sort");
 
   std::vector<int64_t> face_flat(T * 3);
   std::vector<int64_t> uniq_a, uniq_b;
@@ -378,6 +401,7 @@ int64_t surfd_mt_emit(
     face_flat[ks.val] = vid;
   }
   int64_t V = vid + 1;
+  PT.mark("assign_ids");
 
   // Interpolate vertex positions: t = u_a / (u_a + u_b), gauge-invariant.
   float* verts = (float*)std::malloc(sizeof(float) * 3 * V);
@@ -406,6 +430,7 @@ int64_t surfd_mt_emit(
     ++F;
   }
 
+  PT.mark("verts_faces");
   *out_verts = verts;
   *out_nverts = V;
   *out_faces = faces;

@@ -9,10 +9,24 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import weakref
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
+
+
+def _own(ptr, shape, n_rows):
+    """Zero-copy adoption of a C++ malloc'd buffer as a numpy array.
+
+    The returned view keeps the full allocation alive through its base chain;
+    surfd_free fires when the last referencing array dies. Copy-free matters:
+    mesh buffers are ~60 MB per call and this single-core VM moves memory
+    slowly under co-tenant load.
+    """
+    arr = np.ctypeslib.as_array(ptr, shape=shape)
+    weakref.finalize(arr, _load().surfd_free, ctypes.cast(ptr, ctypes.c_void_p))
+    return arr[:n_rows]
 
 _LIB: Optional[ctypes.CDLL] = None
 
@@ -118,14 +132,11 @@ def mt_active_cubes(udf: np.ndarray, near_thr: float, avg_thr: float):
         R, ctypes.c_float(near_thr), ctypes.c_float(avg_thr),
         ctypes.byref(out), ctypes.byref(near), ctypes.byref(n_near),
     )
-    try:
-        ids = np.ctypeslib.as_array(out, shape=(max(int(n), 1),))[: int(n)].copy()
-        nn = int(n_near.value)
-        near_ids = np.ctypeslib.as_array(near, shape=(max(nn, 1),))[:nn].copy()
-    finally:
-        lib.surfd_free(out)
-        lib.surfd_free(near)
-    return ids, near_ids
+    nn = int(n_near.value)
+    return (
+        _own(out, (max(int(n), 1),), int(n)),
+        _own(near, (max(nn, 1),), nn),
+    )
 
 
 def mt_emit(udf: np.ndarray, lo: float, spacing: float, cube_ids: np.ndarray, g8: np.ndarray):
@@ -151,14 +162,11 @@ def mt_emit(udf: np.ndarray, lo: float, spacing: float, cube_ids: np.ndarray, g8
         g.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         ctypes.byref(overts), ctypes.byref(nv), ctypes.byref(ofaces), ctypes.byref(nf),
     )
-    try:
-        V, F = int(nv.value), int(nf.value)
-        verts = np.ctypeslib.as_array(overts, shape=(max(V, 1), 3))[:V].copy()
-        faces = np.ctypeslib.as_array(ofaces, shape=(max(F, 1), 3))[:F].copy()
-    finally:
-        lib.surfd_free(overts)
-        lib.surfd_free(ofaces)
-    return verts.astype(np.float32), faces.astype(np.int64)
+    V, F = int(nv.value), int(nf.value)
+    return (
+        _own(overts, (max(V, 1), 3), V),
+        _own(ofaces, (max(F, 1), 3), F),
+    )
 
 
 def face_filter_prep(vertices: np.ndarray, faces: np.ndarray):
@@ -180,15 +188,12 @@ def face_filter_prep(vertices: np.ndarray, faces: np.ndarray):
         v.ctypes.data_as(fp), len(v), f.ctypes.data_as(i64p), len(f),
         ctypes.byref(opts), ctypes.byref(oeinv),
     )
-    try:
-        E = int(E)
-        n = len(v) + E
-        pts = np.ctypeslib.as_array(opts, shape=(max(n, 1), 3))[:n].copy()
-        einv = np.ctypeslib.as_array(oeinv, shape=(max(len(f), 1), 3))[: len(f)].copy()
-    finally:
-        lib.surfd_free(opts)
-        lib.surfd_free(oeinv)
-    return pts, einv
+    E = int(E)
+    n = len(v) + E
+    return (
+        _own(opts, (max(n, 1), 3), n),
+        _own(oeinv, (max(len(f), 1), 3), len(f)),
+    )
 
 
 def finalize_mesh(
@@ -225,14 +230,11 @@ def finalize_mesh(
         1 if fill_holes else 0, smooth_iters, ctypes.c_float(lam), merge_decimals,
         ctypes.byref(overts), ctypes.byref(nv), ctypes.byref(ofaces), ctypes.byref(nf),
     )
-    try:
-        V, F = int(nv.value), int(nf.value)
-        verts = np.ctypeslib.as_array(overts, shape=(max(V, 1), 3))[:V].copy()
-        out_faces = np.ctypeslib.as_array(ofaces, shape=(max(F, 1), 3))[:F].copy()
-    finally:
-        lib.surfd_free(overts)
-        lib.surfd_free(ofaces)
-    return verts.astype(np.float32), out_faces.astype(np.int64)
+    V, F = int(nv.value), int(nf.value)
+    return (
+        _own(overts, (max(V, 1), 3), V),
+        _own(ofaces, (max(F, 1), 3), F),
+    )
 
 
 def unique_inverse_i64(keys: np.ndarray):
