@@ -107,6 +107,37 @@ int64_t surfd_face_filter_prep(
   return E;
 }
 
+// Quantized midpoint variant: emits ONLY the unique-edge midpoints, already
+// u16-quantized to the 2^16 coords grid (q = rint((p - qlo) * qinv); numpy
+// np.rint parity — both round half-to-even). The caller uploads the vertex
+// queries to the device BEFORE this runs, so the edge radix-sort overlaps the
+// tunnel's h2d + the decoder eval of the vertex mask.
+// *out_qpts (E, 3) u16 (malloc'd), *out_einv (F, 3) i64. Returns E.
+int64_t surfd_face_filter_prep_q16(
+    const float* verts, int64_t V, const int64_t* faces, int64_t F,
+    float qlo, float qinv,
+    uint16_t** out_qpts, int64_t** out_einv) {
+  int64_t* einv = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(F * 3, 1));
+  std::vector<int64_t> ea, eb, owner;
+  std::vector<int32_t> counts;
+  ea.reserve(F * 2);
+  eb.reserve(F * 2);
+  unique_edges(faces, F, V, einv, ea, eb, counts, owner);
+  const int64_t E = (int64_t)ea.size();
+  uint16_t* qpts = (uint16_t*)std::malloc(sizeof(uint16_t) * 3 * std::max<int64_t>(E, 1));
+  for (int64_t e = 0; e < E; ++e) {
+    const float* pa = verts + ea[e] * 3;
+    const float* pb = verts + eb[e] * 3;
+    for (int k = 0; k < 3; ++k) {
+      float q = std::nearbyintf((0.5f * (pa[k] + pb[k]) - qlo) * qinv);
+      qpts[e * 3 + k] = (uint16_t)(q < 0.f ? 0.f : (q > 65535.f ? 65535.f : q));
+    }
+  }
+  *out_qpts = qpts;
+  *out_einv = einv;
+  return E;
+}
+
 // Fused keep-filter + cleanup. ok is the (V+E,) uint8 below-threshold mask
 // over the prep points; einv the (F,3) edge ids from prep. fill_holes,
 // smooth_iters/lam and merge_decimals (0 disables) correspond to

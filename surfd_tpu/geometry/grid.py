@@ -121,29 +121,21 @@ def _next_bucket(n: int) -> int:
     return three_q if three_q >= n else p
 
 
-def eval_in_chunks(fn, pts, chunk: int, unpack_bits: bool = False, mesh=None) -> np.ndarray:
-    """Evaluate a jitted device fn over (P, ...) points in fixed-size chunks.
+def eval_in_chunks_async(fn, pts, chunk: int, unpack_bits: bool = False, mesh=None):
+    """Dispatch `fn` over (P, ...) points; return a finalize() → np.ndarray.
 
-    Transfer/dispatch discipline (the axon tunnel costs ~100-300 ms latency
-    per transfer AND ~10-100 ms per execution dispatch):
-      * ONE host→device upload of all points (device arrays pass through);
-      * ONE dispatch: a jitted lax.map over (K, chunk, ...) slabs, with K
-        padded to the next power of two so at most log2 variants compile;
-      * ONE device→host download of the result.
-
-    unpack_bits: fn returns a packed bitmask (chunk//8 uint8 per chunk,
-    jnp.packbits order) — download 1 bit per point and np.unpackbits on host
-    (the tunnel's d2h path is the slow direction).
-
-    mesh: optional jax.sharding.Mesh with a 'data' axis — the slab axis is
-    sharded over it and devices evaluate their slabs concurrently.
+    The upload and the lax.map execution are dispatched asynchronously (JAX
+    async dispatch); only the returned closure blocks on the d2h download —
+    so host work (e.g. the native edge radix-sort of the face filter) can
+    overlap the transfer + device compute. ctypes calls release the GIL, so
+    the tunnel's background threads keep feeding the socket meanwhile.
     """
     P = pts.shape[0]
     if P == 0:
         probe = np.asarray(fn(jnp.zeros((chunk, 3), jnp.float32)))
         if unpack_bits:
-            return np.zeros((0,), np.uint8)
-        return np.zeros((0,) + probe.shape[1:], probe.dtype)
+            return lambda: np.zeros((0,), np.uint8)
+        return lambda: np.zeros((0,) + probe.shape[1:], probe.dtype)
     chunk = min(chunk, _next_pow2(P))
     n_chunks = _next_bucket(math.ceil(P / chunk))
     if mesh is not None:
@@ -162,14 +154,38 @@ def eval_in_chunks(fn, pts, chunk: int, unpack_bits: bool = False, mesh=None) ->
 
         slabs = jax.device_put(slabs, NamedSharding(mesh, PartitionSpec("data")))
     out = _fused_map(fn, chunk, mesh)(slabs)
-    if unpack_bits:
-        host = np.asarray(out)  # (n_chunks, ceil(chunk/8)) uint8
-        bits = np.unpackbits(host.reshape(n_chunks, -1), axis=1)[:, :chunk]
-        return bits.reshape(-1)[:P]
-    # fn may emit more than one value per input item (e.g. block → B³ verts)
-    per_item = out.shape[1] // chunk
-    out = out.reshape((n_chunks * chunk * per_item,) + out.shape[2:])
-    return np.asarray(out)[: P * per_item]
+
+    def finalize():
+        if unpack_bits:
+            host = np.asarray(out)  # (n_chunks, ceil(chunk/8)) uint8
+            bits = np.unpackbits(host.reshape(n_chunks, -1), axis=1)[:, :chunk]
+            return bits.reshape(-1)[:P]
+        # fn may emit more than one value per input item (e.g. block → B³ verts)
+        per_item = out.shape[1] // chunk
+        flat = out.reshape((n_chunks * chunk * per_item,) + out.shape[2:])
+        return np.asarray(flat)[: P * per_item]
+
+    return finalize
+
+
+def eval_in_chunks(fn, pts, chunk: int, unpack_bits: bool = False, mesh=None) -> np.ndarray:
+    """Evaluate a jitted device fn over (P, ...) points in fixed-size chunks.
+
+    Transfer/dispatch discipline (the axon tunnel costs ~100-300 ms latency
+    per transfer AND ~10-100 ms per execution dispatch):
+      * ONE host→device upload of all points (device arrays pass through);
+      * ONE dispatch: a jitted lax.map over (K, chunk, ...) slabs, with K
+        padded to the next power of two so at most log2 variants compile;
+      * ONE device→host download of the result.
+
+    unpack_bits: fn returns a packed bitmask (chunk//8 uint8 per chunk,
+    jnp.packbits order) — download 1 bit per point and np.unpackbits on host
+    (the tunnel's d2h path is the slow direction).
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis — the slab axis is
+    sharded over it and devices evaluate their slabs concurrently.
+    """
+    return eval_in_chunks_async(fn, pts, chunk, unpack_bits=unpack_bits, mesh=mesh)()
 
 
 def make_grad_fn(udf_fn: UdfFn) -> GradFn:

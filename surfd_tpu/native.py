@@ -66,6 +66,13 @@ def _load() -> ctypes.CDLL:
         fp, ctypes.c_int64, i64p, ctypes.c_int64,
         ctypes.POINTER(fp), ctypes.POINTER(i64p),
     ]
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.surfd_face_filter_prep_q16.restype = ctypes.c_int64
+    lib.surfd_face_filter_prep_q16.argtypes = [
+        fp, ctypes.c_int64, i64p, ctypes.c_int64,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(u16p), ctypes.POINTER(i64p),
+    ]
     lib.surfd_finalize_mesh.restype = None
     lib.surfd_finalize_mesh.argtypes = [
         fp, ctypes.c_int64, i64p, ctypes.c_int64,
@@ -192,6 +199,32 @@ def face_filter_prep(vertices: np.ndarray, faces: np.ndarray):
     n = len(v) + E
     return (
         _own(opts, (max(n, 1), 3), n),
+        _own(oeinv, (max(len(f), 1), 3), len(f)),
+    )
+
+
+def face_filter_prep_q16(vertices: np.ndarray, faces: np.ndarray, qlo: float, qinv: float):
+    """Unique-edge midpoints (u16-quantized) + per-face edge ids.
+
+    Companion of face_filter_prep that emits ONLY the midpoints, pre-quantized
+    to the 2^16 coords grid — the caller dispatches the vertex queries to the
+    device first, so this C++ pass overlaps the tunnel upload + decoder eval.
+    """
+    lib = _load()
+    v = np.ascontiguousarray(vertices, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int64)
+    fp = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    oq = ctypes.POINTER(ctypes.c_uint16)()
+    oeinv = i64p()
+    E = lib.surfd_face_filter_prep_q16(
+        v.ctypes.data_as(fp), len(v), f.ctypes.data_as(i64p), len(f),
+        ctypes.c_float(qlo), ctypes.c_float(qinv),
+        ctypes.byref(oq), ctypes.byref(oeinv),
+    )
+    E = int(E)
+    return (
+        _own(oq, (max(E, 1), 3), E),
         _own(oeinv, (max(len(f), 1), 3), len(f)),
     )
 

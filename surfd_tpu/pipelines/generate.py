@@ -343,39 +343,57 @@ def get_mesh_from_udf(
 
     fused = cfg.filter_faces and len(mesh.faces) > 0 and native.available()
     if fused:
-        # Fused native path: ONE C++ pass builds the filter's query points
-        # (vertices + unique-edge midpoints), the TPU evaluates the below-
-        # threshold mask, and a second C++ pass applies the keep filter and
-        # the whole cleanup chain (hole fill, border smoothing, vertex merge).
+        # Fused native path: the TPU evaluates the below-threshold mask at the
+        # filter's query points (vertices + unique-edge midpoints), then one
+        # C++ pass applies the keep filter and the whole cleanup chain (hole
+        # fill, border smoothing, vertex merge).
+        from ..geometry import eval_in_chunks_async
+
         t0 = time.perf_counter()
-        pts, einv = native.face_filter_prep(mesh.vertices, mesh.faces)
-        times["ff_prep"] = round(time.perf_counter() - t0, 3)
         threshold = cfg.face_filter_mult / cfg.resolution
         q16_bound = getattr(udf_fn, "below_packed_q16_bound", None)
         packed_bound = getattr(udf_fn, "below_packed_bound", None)
         below_bound = getattr(udf_fn, "below_bound", None)
         if q16_bound is not None and cfg.quantized_filter_points:
-            # uint16 coords (half the upload) + packed-bit mask download;
-            # quantization half-step 1.5e-5 ≈ 0.8% of the 1/512 threshold
+            # uint16 coords (half the upload) + packed-bit mask downloads;
+            # quantization half-step 1.5e-5 ≈ 0.8% of the 1/512 threshold.
+            # Overlap: the vertex queries are known before the edge structure,
+            # so their upload + decoder eval is dispatched asynchronously and
+            # runs while the C++ prep radix-sorts the edges and quantizes the
+            # midpoints (ctypes releases the GIL).
             qstep = (hi_ - lo_) / 65535.0
-            qpts = np.clip(
-                np.rint((pts - lo_) * (1.0 / qstep)), 0, 65535
+            bound = q16_bound(threshold, lo_, qstep)
+            qverts = np.clip(
+                np.rint((mesh.vertices - lo_) * (1.0 / qstep)), 0, 65535
             ).astype(np.uint16)
-            ok = eval_in_chunks(
-                q16_bound(threshold, lo_, qstep), qpts, cfg.max_batch,
-                unpack_bits=True, mesh=cfg.mesh,
+            verts_pending = eval_in_chunks_async(
+                bound, qverts, cfg.max_batch, unpack_bits=True, mesh=cfg.mesh
             )
-        elif packed_bound is not None:
-            ok = eval_in_chunks(
-                packed_bound(threshold), pts, cfg.max_batch,
-                unpack_bits=True, mesh=cfg.mesh,
+            qmids, einv = native.face_filter_prep_q16(
+                mesh.vertices, mesh.faces, lo_, 1.0 / qstep
             )
-        elif below_bound is not None:
-            ok = eval_in_chunks(below_bound(threshold), pts, cfg.max_batch, mesh=cfg.mesh)
+            times["ff_prep"] = round(time.perf_counter() - t0, 3)
+            mids_pending = eval_in_chunks_async(
+                bound, qmids, cfg.max_batch, unpack_bits=True, mesh=cfg.mesh
+            )
+            ok = np.concatenate([verts_pending(), mids_pending()])
         else:
-            ok = (
-                eval_in_chunks(udf_fn, pts, cfg.max_batch, mesh=cfg.mesh) <= threshold
-            ).astype(np.uint8)
+            pts, einv = native.face_filter_prep(mesh.vertices, mesh.faces)
+            times["ff_prep"] = round(time.perf_counter() - t0, 3)
+            if packed_bound is not None:
+                ok = eval_in_chunks(
+                    packed_bound(threshold), pts, cfg.max_batch,
+                    unpack_bits=True, mesh=cfg.mesh,
+                )
+            elif below_bound is not None:
+                ok = eval_in_chunks(
+                    below_bound(threshold), pts, cfg.max_batch, mesh=cfg.mesh
+                )
+            else:
+                ok = (
+                    eval_in_chunks(udf_fn, pts, cfg.max_batch, mesh=cfg.mesh)
+                    <= threshold
+                ).astype(np.uint8)
         times["face_filter"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()

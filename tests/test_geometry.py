@@ -322,6 +322,36 @@ def test_native_face_filter_prep_matches_numpy():
     np.testing.assert_array_equal(einv, inv.ravel().reshape(3, -1).T)
 
 
+def test_native_face_filter_prep_q16_matches_f32_prep():
+    """q16 prep == f32 prep's midpoints put through the numpy quantizer."""
+    from surfd_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    udf, grad = sphere_udf_grids(32)
+    mesh = marching_tetrahedra_udf(udf, grad, use_native=False)
+    lo, hi = -1.0, 1.0
+    qstep = (hi - lo) / 65535.0
+    pts, einv = native.face_filter_prep(mesh.vertices, mesh.faces)
+    qmids, qeinv = native.face_filter_prep_q16(
+        mesh.vertices, mesh.faces, lo, 1.0 / qstep
+    )
+    np.testing.assert_array_equal(einv, qeinv)
+    mids = pts[len(mesh.vertices):]
+    oracle = np.clip(np.rint((mids - lo) * (1.0 / qstep)), 0, 65535).astype(np.uint16)
+    np.testing.assert_array_equal(qmids, oracle)
+
+
+def test_eval_in_chunks_async_matches_sync():
+    from surfd_tpu.geometry import eval_in_chunks, eval_in_chunks_async
+
+    fn = jax.jit(lambda p: jnp.linalg.norm(p, axis=-1))
+    pts = np.random.default_rng(0).normal(size=(1000, 3)).astype(np.float32)
+    pending = eval_in_chunks_async(fn, pts, 256)
+    sync = eval_in_chunks(fn, pts, 256)
+    np.testing.assert_array_equal(pending(), sync)
+
+
 def test_native_finalize_parity_full_chain():
     """Fused C++ filter+cleanup == the numpy oracle chain, face for face."""
     from surfd_tpu import native
