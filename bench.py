@@ -108,12 +108,29 @@ def main():
     log("DDPM sampler compiled")
 
     # --- decoder fitted to the sphere UDF ---
+    # The fit is EXCLUDED from the metric; cache the fitted params on disk so
+    # repeat runs skip the 2500 sequential tunnel round trips (under co-tenant
+    # load the fit alone can take >15 min).
     decoder = CbnDecoder(latent_dim=L, hidden_dim=512, num_hidden_layers=5)
     ce = CoordsEncoder()
     latent = jnp.full((1, L), 0.1, jnp.float32)
-    t_fit = time.perf_counter()
-    dvars = fit_decoder_to_sphere(decoder, ce, latent, steps=args.fit_steps)
-    log(f"fit time (excluded from metric): {time.perf_counter()-t_fit:.1f}s")
+    cache_path = f"/tmp/surfd_bench_decoder_L{L}_s{args.fit_steps}.npz"
+    import os
+
+    import flax
+
+    if os.path.exists(cache_path):
+        with open(cache_path, "rb") as fh:
+            dvars = flax.serialization.msgpack_restore(fh.read())
+        dvars = jax.tree.map(jnp.asarray, dvars)
+        log(f"decoder loaded from {cache_path} (fit skipped)")
+    else:
+        t_fit = time.perf_counter()
+        dvars = fit_decoder_to_sphere(decoder, ce, latent, steps=args.fit_steps)
+        log(f"fit time (excluded from metric): {time.perf_counter()-t_fit:.1f}s")
+        host_vars = jax.tree.map(np.asarray, dvars)
+        with open(cache_path, "wb") as fh:
+            fh.write(flax.serialization.msgpack_serialize(host_vars))
 
     udf_fn = make_udf_fn(decoder, dvars, latent[0])
     cfg = MeshExtractionConfig(resolution=args.resolution, min_component_faces=0)

@@ -240,6 +240,114 @@ int64_t surfd_mt_active_cubes(
   return n_active;
 }
 
+// Block-gated pass 1: identical output to surfd_mt_active_cubes, but only
+// cube anchors inside the given scan blocks are visited — the caller derives
+// the scan set from the grid filler's active-block list (dilated by one block
+// in the negative direction), so the sweep touches ~the near-band volume
+// instead of the full R³ grid (537 MB at 512³ on a ~1.5 GB/s host).
+// sb: (S, 3) int32 scan-block coords at block size BS. Emitted cube ids are
+// sorted ascending (same order as the full scan).
+int64_t surfd_mt_active_cubes_blocks(
+    const float* udf, int32_t R, float near_thr, float avg_thr,
+    const int32_t* sb, int64_t S, int32_t BS,
+    int64_t** out_ids, int64_t** out_near, int64_t* out_n_near) {
+  const int64_t RR = (int64_t)R * R;
+  const int64_t NV = (int64_t)R * R * R;
+  const int64_t nwords = (NV + 63) >> 6;
+  uint64_t* corner_bits = (uint64_t*)std::calloc(nwords, sizeof(uint64_t));
+  std::vector<int64_t> ids_v;
+  ids_v.reserve(1 << 16);
+  for (int64_t s = 0; s < S; ++s) {
+    const int x0 = sb[s * 3] * BS, y0 = sb[s * 3 + 1] * BS, z0 = sb[s * 3 + 2] * BS;
+    const int x1 = std::min(x0 + BS, R - 1);
+    const int y1 = std::min(y0 + BS, R - 1);
+    const int z1 = std::min(z0 + BS, R - 1);
+    for (int x = x0; x < x1; ++x)
+      for (int y = y0; y < y1; ++y) {
+        const float* row = udf + x * RR + (int64_t)y * R;
+        for (int z = z0; z < z1; ++z) {
+          if (row[z] > near_thr) continue;
+          float sum = 0.f;
+          bool ok = true;
+          for (int c = 0; c < 8 && ok; ++c) {
+            float v = udf[(int64_t)(x + CORNER_OFF[c][0]) * RR +
+                          (int64_t)(y + CORNER_OFF[c][1]) * R +
+                          (z + CORNER_OFF[c][2])];
+            if (v > near_thr) ok = false;
+            sum += v;
+          }
+          if (!ok || sum * 0.125f >= avg_thr) continue;
+          ids_v.push_back(((int64_t)x * (R - 1) + y) * (R - 1) + z);
+          for (int c = 0; c < 8; ++c) {
+            int64_t g = (int64_t)(x + CORNER_OFF[c][0]) * RR +
+                        (int64_t)(y + CORNER_OFF[c][1]) * R +
+                        (z + CORNER_OFF[c][2]);
+            corner_bits[g >> 6] |= 1ull << (g & 63);
+          }
+        }
+      }
+  }
+  std::sort(ids_v.begin(), ids_v.end());
+  const int64_t n_active = (int64_t)ids_v.size();
+  int64_t* ids = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(n_active, 1));
+  std::memcpy(ids, ids_v.data(), n_active * sizeof(int64_t));
+  *out_ids = ids;
+
+  int64_t n_corner = 0;
+  for (int64_t w = 0; w < nwords; ++w) n_corner += __builtin_popcountll(corner_bits[w]);
+  int64_t* corners = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(n_corner, 1));
+  int64_t k = 0;
+  for (int64_t w = 0; w < nwords; ++w) {
+    uint64_t bits = corner_bits[w];
+    while (bits) {
+      int b = __builtin_ctzll(bits);
+      corners[k++] = (w << 6) | b;
+      bits &= bits - 1;
+    }
+  }
+  std::free(corner_bits);
+  *out_near = corners;
+  *out_n_near = n_corner;
+  return n_active;
+}
+
+// Scatter B³ uint16-quantized value blocks into the dense f32 grid, fusing
+// the u16→f32 dequantization (numpy: .astype + fancy index ≈ 0.5 s at 3.5M
+// points on this host; here one streaming pass).
+void surfd_scatter_u16_blocks(
+    float* grid, int32_t R, const int32_t* ab, int64_t M, int32_t B,
+    const uint16_t* vals, float scale) {
+  const int64_t RR = (int64_t)R * R;
+  const int64_t BB = (int64_t)B * B;
+  for (int64_t m = 0; m < M; ++m) {
+    const int x0 = ab[m * 3] * B, y0 = ab[m * 3 + 1] * B, z0 = ab[m * 3 + 2] * B;
+    const uint16_t* v = vals + m * BB * B;
+    for (int i = 0; i < B; ++i)
+      for (int j = 0; j < B; ++j) {
+        float* dst = grid + (int64_t)(x0 + i) * RR + (int64_t)(y0 + j) * R + z0;
+        const uint16_t* src = v + i * BB + (int64_t)j * B;
+        for (int k2 = 0; k2 < B; ++k2) dst[k2] = src[k2] * scale;
+      }
+  }
+}
+
+// Reset previously-written blocks to `value` — buffer reuse between fills
+// (first-touch page allocation of a fresh 512³ grid is pathologically slow
+// on this VM; reusing the buffer makes the fill cost proportional to the
+// active volume).
+void surfd_reset_blocks(
+    float* grid, int32_t R, const int32_t* ab, int64_t M, int32_t B, float value) {
+  const int64_t RR = (int64_t)R * R;
+  for (int64_t m = 0; m < M; ++m) {
+    const int x0 = ab[m * 3] * B, y0 = ab[m * 3 + 1] * B, z0 = ab[m * 3 + 2] * B;
+    for (int i = 0; i < B; ++i)
+      for (int j = 0; j < B; ++j) {
+        float* dst = grid + (int64_t)(x0 + i) * RR + (int64_t)(y0 + j) * R + z0;
+        for (int k2 = 0; k2 < B; ++k2) dst[k2] = value;
+      }
+  }
+}
+
 // Pass 2: emit the deduped mesh.
 //   udf        (R³,) f32
 //   cube_ids   (M,) flat ids from pass 1

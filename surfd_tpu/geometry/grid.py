@@ -332,6 +332,14 @@ def auto_block_size(
     return block
 
 
+# Reusable dense-grid buffers keyed by (N, max_dist): first-touch page
+# allocation of a fresh 512³ f32 grid is pathologically slow on this VM
+# (~10 MB/s kernel zeroing under memory pressure), so repeated fills reuse
+# one buffer and reset only the blocks the previous fill wrote. Single-
+# threaded use only (the CLI/pipeline pattern).
+_GRID_BUF_CACHE: dict = {}
+
+
 class GridFiller:
     """Fill an N³ UDF vertex grid from a per-point decoder function."""
 
@@ -344,7 +352,9 @@ class GridFiller:
         max_dist: float = 0.1,
         band_mult: float = 2.5,
         mesh=None,
+        reuse_buffer: bool = False,
     ):
+        self.reuse_buffer = reuse_buffer
         self.N = resolution
         self.lo, self.hi = coords_range
         self.max_batch = max_batch
@@ -411,9 +421,12 @@ class GridFiller:
             ab = ab[sub_idx[:, 0]] * n_sub + sub_idx[:, 1:]
             B = B2
 
-        grid = np.full((N, N, N), self.max_dist, dtype=np.float32)
+        grid = self._dense_buffer(N)
+        ab32 = np.ascontiguousarray(ab, np.int32)
 
         if len(ab) > 0:
+            from .. import native
+
             # Vertex coordinates are GENERATED on device from the (tiny)
             # active-block index list — the only upload is M×3 int32.
             blocks_per_chunk = max(self.max_batch // B**3, 1)
@@ -423,14 +436,25 @@ class GridFiller:
             fine_fn = u16_fn if u16_fn is not None else udf_fn
             block_udf = _get_block_fn(fine_fn, B, self.spacing, self.lo)
             M = len(ab)
-            vals = eval_in_chunks(block_udf, ab.astype(np.int32), blocks_per_chunk, mesh=self.mesh)
+            vals = eval_in_chunks(block_udf, ab32, blocks_per_chunk, mesh=self.mesh)
             vals = vals.reshape(M, B, B, B)
-            if u16_fn is not None:
-                vals = vals.astype(np.float32) * np.float32(self.max_dist / 65535.0)
-            # contiguous slab writes beat a 9.6M-element fancy scatter
-            for m in range(M):
-                x0, y0, z0 = ab[m] * B
-                grid[x0 : x0 + B, y0 : y0 + B, z0 : z0 + B] = vals[m]
+            if u16_fn is not None and native.available():
+                # fused u16→f32 dequantize + scatter in one C++ pass
+                native.scatter_u16_blocks(
+                    grid, ab32, vals, B, self.max_dist / 65535.0
+                )
+            else:
+                if u16_fn is not None:
+                    vals = vals.astype(np.float32) * np.float32(self.max_dist / 65535.0)
+                ax, ay, az = (ab * B).T
+                r = np.arange(B)
+                grid[
+                    (ax[:, None] + r)[:, :, None, None],
+                    (ay[:, None] + r)[:, None, :, None],
+                    (az[:, None] + r)[:, None, None, :],
+                ] = vals
+        if self.reuse_buffer:
+            _GRID_BUF_CACHE[(N, round(float(self.max_dist), 9))] = (grid, ab32, B)
 
         if return_stats:
             stats = {
@@ -438,8 +462,37 @@ class GridFiller:
                 "total_blocks": int((N // B) ** 3),
                 "fine_points": len(ab) * B**3,
                 "dense_points": N**3,
+                # active-block list at its final granularity: downstream
+                # marching uses it to gate pass 1 to ~the near-band volume
+                "ab": ab32,
+                "block": B,
             }
             return grid, stats
+        return grid
+
+    def _dense_buffer(self, N: int) -> np.ndarray:
+        """max_dist-filled (N,N,N) f32 buffer, reused across fills when
+        reuse_buffer: only the previously-written blocks are reset."""
+        if not self.reuse_buffer:
+            return np.full((N, N, N), self.max_dist, dtype=np.float32)
+        key = (N, round(float(self.max_dist), 9))
+        ent = _GRID_BUF_CACHE.pop(key, None)
+        if ent is None:
+            return np.full((N, N, N), self.max_dist, dtype=np.float32)
+        grid, prev_ab, prev_B = ent
+        if len(prev_ab):
+            from .. import native
+
+            if native.available():
+                native.reset_blocks(grid, prev_ab, prev_B, self.max_dist)
+            else:
+                ax, ay, az = (prev_ab.astype(np.int64) * prev_B).T
+                r = np.arange(prev_B)
+                grid[
+                    (ax[:, None] + r)[:, :, None, None],
+                    (ay[:, None] + r)[:, None, :, None],
+                    (az[:, None] + r)[:, None, None, :],
+                ] = self.max_dist
         return grid
 
     def fill_gradients(

@@ -276,6 +276,7 @@ def marching_tetrahedra_udf(
     avg_mult: float = 1.05,
     use_native: bool = True,
     times: dict | None = None,
+    active_blocks: tuple | None = None,
 ) -> Mesh:
     """Extract an (open) surface from a UDF + gradient grid.
 
@@ -291,6 +292,11 @@ def marching_tetrahedra_udf(
     (_cy.pyx:1157-1158). Edge crossings: endpoint gradients opposing
     (dot < 0) — the reference's `compute_edge_vote` reduces to this sign test
     for the crossing decision (_cy.pyx:1776-1806).
+
+    active_blocks: optional (ab (M,3) int, B) from GridFiller.fill stats —
+    every near-band grid node is inside a listed block (the filler's activity
+    test guarantees it), so the native pass 1 only scans those blocks dilated
+    by one in the negative direction instead of the full R³ grid.
     """
     R = udf.shape[0]
     assert udf.shape == (R, R, R)
@@ -319,7 +325,9 @@ def marching_tetrahedra_udf(
 
         if native.available():
             return _marching_udf_native(
-                u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult, times
+                u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult, times,
+                active_blocks=active_blocks,
+                grad_async=getattr(gradients, "async_call", None),
             )
 
     # --- candidate cubes: gather-driven, ONE full-grid pass total ---
@@ -387,13 +395,16 @@ def marching_tetrahedra_udf(
 
 
 def _marching_udf_native(
-    u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult, times=None
+    u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult, times=None,
+    active_blocks=None, grad_async=None,
 ) -> Mesh:
     """Native (C++) marching path: same algorithm, serial-host engineered.
 
     Pass 1 finds active cubes and the sorted gid list of their distinct
-    corners in one sweep; python resolves int8 unit gradients at exactly
-    those gids (on device when grad_lookup is lazy); pass 2 emits the
+    corners in one sweep (gated to the filler's active blocks when known);
+    python resolves int8 unit gradients at exactly those gids (on device when
+    grad_lookup is lazy, dispatched asynchronously when the evaluator
+    supports it so the searchsorted overlaps the transfer); pass 2 emits the
     radix-deduped mesh with triangle winding decided in-loop from the
     per-cube pseudo-signed gradients.
     """
@@ -407,10 +418,36 @@ def _marching_udf_native(
         return _time.perf_counter()
 
     t0 = _time.perf_counter()
-    cube_ids, near_gids = native.mt_active_cubes(u, near_mult * voxel, avg_mult * voxel)
+    if active_blocks is not None:
+        ab, B = active_blocks
+        # A cube anchored in block b has corners in blocks b..b+1 per axis,
+        # so anchors that can touch an active block's nodes live in the
+        # active set dilated by one block in the NEGATIVE direction.
+        nb = R // B
+        ab = np.asarray(ab, np.int64)
+        offs = _CORNER_OFFSETS  # the 8 {0,1}³ combinations
+        dil = (ab[:, None, :] - offs[None]).reshape(-1, 3)
+        np.clip(dil, 0, nb - 1, out=dil)
+        flat = (dil[:, 0] * nb + dil[:, 1]) * nb + dil[:, 2]
+        scan = np.unique(flat)
+        sb = np.empty((len(scan), 3), np.int32)
+        sb[:, 0] = scan // (nb * nb)
+        sb[:, 1] = (scan // nb) % nb
+        sb[:, 2] = scan % nb
+        cube_ids, near_gids = native.mt_active_cubes_blocks(
+            u, near_mult * voxel, avg_mult * voxel, sb, B
+        )
+    else:
+        cube_ids, near_gids = native.mt_active_cubes(
+            u, near_mult * voxel, avg_mult * voxel
+        )
     t0 = mark("mt_pass1", t0)
     if len(cube_ids) == 0:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+
+    # Dispatch the gradient eval FIRST when the evaluator supports async:
+    # the upload + device compute run while the host does the searchsorted.
+    pending_g = grad_async(near_gids) if grad_async is not None else None
 
     Rm1 = R - 1
     cz = cube_ids % Rm1
@@ -422,7 +459,9 @@ def _marching_udf_native(
     # an np.unique, and the device evaluates no gradient it will not use.
     inv8 = np.searchsorted(near_gids, gids)
     t0 = mark("mt_unique", t0)
-    g_near = np.asarray(grad_lookup(near_gids), np.float32)
+    g_near = np.asarray(
+        pending_g() if pending_g is not None else grad_lookup(near_gids), np.float32
+    )
     t0 = mark("mt_grads", t0)
     norm = np.maximum(np.linalg.norm(g_near, axis=-1, keepdims=True), 1e-12)
     g_i8 = np.round(g_near / norm * 127.0).astype(np.int8)

@@ -86,6 +86,21 @@ def _load() -> ctypes.CDLL:
         i64p, ctypes.c_int64, i8p,
         ctypes.POINTER(fp), i64p, ctypes.POINTER(i64p), i64p,
     ]
+    lib.surfd_mt_active_cubes_blocks.restype = ctypes.c_int64
+    lib.surfd_mt_active_cubes_blocks.argtypes = [
+        fp, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+        ip, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(i64p), ctypes.POINTER(i64p), i64p,
+    ]
+    lib.surfd_scatter_u16_blocks.restype = None
+    lib.surfd_scatter_u16_blocks.argtypes = [
+        fp, ctypes.c_int32, ip, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_float,
+    ]
+    lib.surfd_reset_blocks.restype = None
+    lib.surfd_reset_blocks.argtypes = [
+        fp, ctypes.c_int32, ip, ctypes.c_int64, ctypes.c_int32, ctypes.c_float,
+    ]
     _LIB = lib
     return lib
 
@@ -143,6 +158,60 @@ def mt_active_cubes(udf: np.ndarray, near_thr: float, avg_thr: float):
     return (
         _own(out, (max(int(n), 1),), int(n)),
         _own(near, (max(nn, 1),), nn),
+    )
+
+
+def mt_active_cubes_blocks(
+    udf: np.ndarray, near_thr: float, avg_thr: float,
+    scan_blocks: np.ndarray, block: int,
+):
+    """Block-gated pass 1: identical result to mt_active_cubes, visiting only
+    cube anchors inside `scan_blocks` ((S,3) int32 coords at size `block`)."""
+    lib = _load()
+    u = np.ascontiguousarray(udf, dtype=np.float32)
+    sb = np.ascontiguousarray(scan_blocks, dtype=np.int32)
+    R = u.shape[0]
+    out = ctypes.POINTER(ctypes.c_int64)()
+    near = ctypes.POINTER(ctypes.c_int64)()
+    n_near = ctypes.c_int64(0)
+    n = lib.surfd_mt_active_cubes_blocks(
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        R, ctypes.c_float(near_thr), ctypes.c_float(avg_thr),
+        sb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(sb), block,
+        ctypes.byref(out), ctypes.byref(near), ctypes.byref(n_near),
+    )
+    nn = int(n_near.value)
+    return (
+        _own(out, (max(int(n), 1),), int(n)),
+        _own(near, (max(nn, 1),), nn),
+    )
+
+
+def scatter_u16_blocks(
+    grid: np.ndarray, ab: np.ndarray, vals: np.ndarray, block: int, scale: float
+) -> None:
+    """Write (M, B³) u16 blocks into the (R,R,R) f32 grid, dequantizing by
+    `scale` in the same pass. grid is modified in place."""
+    lib = _load()
+    assert grid.dtype == np.float32 and grid.flags.c_contiguous
+    a = np.ascontiguousarray(ab, dtype=np.int32)
+    v = np.ascontiguousarray(vals, dtype=np.uint16)
+    lib.surfd_scatter_u16_blocks(
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), grid.shape[0],
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a), block,
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), ctypes.c_float(scale),
+    )
+
+
+def reset_blocks(grid: np.ndarray, ab: np.ndarray, block: int, value: float) -> None:
+    """Reset (M,) blocks of the (R,R,R) f32 grid to `value` in place."""
+    lib = _load()
+    assert grid.dtype == np.float32 and grid.flags.c_contiguous
+    a = np.ascontiguousarray(ab, dtype=np.int32)
+    lib.surfd_reset_blocks(
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), grid.shape[0],
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a), block,
+        ctypes.c_float(value),
     )
 
 

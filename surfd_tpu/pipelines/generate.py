@@ -25,6 +25,7 @@ from ..geometry import (
     GridFiller,
     Mesh,
     eval_in_chunks,
+    eval_in_chunks_async,
     filter_small_components,
     laplacian_smooth,
     make_grad_fn,
@@ -304,9 +305,15 @@ def get_mesh_from_udf(
         max_batch=cfg.max_batch,
         max_dist=cfg.max_dist,
         mesh=cfg.mesh,
+        reuse_buffer=True,  # the grid never escapes this function
     )
     grid, stats = gf.fill(udf_fn, return_stats=True)
     times["grid_fill"] = time.perf_counter() - t0
+    # the filler's activity test guarantees every near-band node is inside a
+    # listed block — marching pass 1 scans only those (dilated), not R³
+    active_blocks = (
+        (stats["ab"], stats["block"]) if stats.get("ab") is not None and len(stats["ab"]) else None
+    )
 
     t0 = time.perf_counter()
     lo_, hi_ = cfg.coords_range
@@ -322,6 +329,12 @@ def get_mesh_from_udf(
                 mesh=cfg.mesh,
             )
             grad_fn.by_gid = True
+            # async form: marching dispatches the eval before its host-side
+            # searchsorted so the upload/compute overlap it
+            grad_fn.async_call = lambda gids: eval_in_chunks_async(
+                gid_fn, np.ascontiguousarray(gids, np.int32), cfg.max_batch,
+                mesh=cfg.mesh,
+            )
         else:
             grad_fn = (
                 getattr(udf_fn, "grad_i8_fn", None)  # int8 units: 12× less d2h
@@ -335,7 +348,9 @@ def get_mesh_from_udf(
         # touches — no dense (R³, 3) gradient grid is built or transferred.
         grad_at = lambda pts: eval_in_chunks(grad_fn, pts, cfg.max_batch, mesh=cfg.mesh)
         grad_at.by_gid = False
-    mesh = marching_tetrahedra_udf(grid, grad_at, cfg.coords_range, times=times)
+    mesh = marching_tetrahedra_udf(
+        grid, grad_at, cfg.coords_range, times=times, active_blocks=active_blocks
+    )
     times["marching"] = time.perf_counter() - t0
     stats["raw_faces"] = len(mesh.faces)
 
@@ -347,8 +362,6 @@ def get_mesh_from_udf(
         # filter's query points (vertices + unique-edge midpoints), then one
         # C++ pass applies the keep filter and the whole cleanup chain (hole
         # fill, border smoothing, vertex merge).
-        from ..geometry import eval_in_chunks_async
-
         t0 = time.perf_counter()
         threshold = cfg.face_filter_mult / cfg.resolution
         q16_bound = getattr(udf_fn, "below_packed_q16_bound", None)
@@ -454,7 +467,7 @@ def get_watertight_mesh_from_udf(
 
     gf = GridFiller(
         cfg.resolution, cfg.coords_range, max_batch=cfg.max_batch,
-        max_dist=cfg.max_dist, mesh=cfg.mesh,
+        max_dist=cfg.max_dist, mesh=cfg.mesh, reuse_buffer=True,
     )
     grid = gf.fill(udf_fn)
     mesh = marching_tetrahedra(grid, iso=iso, coords_range=cfg.coords_range)

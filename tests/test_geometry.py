@@ -322,6 +322,67 @@ def test_native_face_filter_prep_matches_numpy():
     np.testing.assert_array_equal(einv, inv.ravel().reshape(3, -1).T)
 
 
+def test_native_block_gated_pass1_matches_full_scan():
+    """mt_active_cubes_blocks over a sound scan set == the full-grid pass 1."""
+    from surfd_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    udf, _ = sphere_udf_grids(64)
+    R = udf.shape[0]
+    voxel = 2.0 / (R - 1)
+    near_thr, avg_thr = 1.74 * voxel, 1.05 * voxel
+    ids_full, near_full = native.mt_active_cubes(udf, near_thr, avg_thr)
+
+    # active blocks: any node below the near threshold (the filler's activity
+    # test is a superset of this), dilated one block negative for anchors
+    B = 8
+    nb = R // B
+    coarse = (udf <= near_thr).reshape(nb, B, nb, B, nb, B).any(axis=(1, 3, 5))
+    ab = np.argwhere(coarse)
+    offs = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"), -1).reshape(-1, 3)
+    dil = np.clip((ab[:, None, :] - offs[None]).reshape(-1, 3), 0, nb - 1)
+    sb = np.unique(dil, axis=0).astype(np.int32)
+    ids_blk, near_blk = native.mt_active_cubes_blocks(udf, near_thr, avg_thr, sb, B)
+    np.testing.assert_array_equal(ids_blk, ids_full)
+    np.testing.assert_array_equal(near_blk, near_full)
+
+
+def test_native_scatter_and_reset_blocks():
+    from surfd_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    R, B, M = 32, 4, 17
+    grid = np.full((R, R, R), 0.1, np.float32)
+    ab = np.unique(rng.integers(0, R // B, size=(M, 3)), axis=0).astype(np.int32)
+    vals = rng.integers(0, 65536, size=(len(ab), B, B, B)).astype(np.uint16)
+    scale = 0.1 / 65535.0
+    native.scatter_u16_blocks(grid, ab, vals, B, scale)
+    oracle = np.full((R, R, R), 0.1, np.float32)
+    for m in range(len(ab)):
+        x0, y0, z0 = ab[m] * B
+        oracle[x0:x0+B, y0:y0+B, z0:z0+B] = vals[m].astype(np.float32) * np.float32(scale)
+    np.testing.assert_array_equal(grid, oracle)
+    native.reset_blocks(grid, ab, B, 0.1)
+    np.testing.assert_array_equal(grid, np.full((R, R, R), 0.1, np.float32))
+
+
+def test_grid_filler_reuse_buffer_matches_fresh():
+    """A reused buffer (reset-active-blocks) fill == a fresh-buffer fill."""
+    gf = GridFiller(resolution=64, max_batch=2**14, reuse_buffer=True)
+    fn_a = jax.jit(_sphere_udf_fn)
+    fn_b = jax.jit(lambda p: jnp.minimum(
+        jnp.abs(jnp.linalg.norm(p - 0.2, axis=-1) - 0.4), 0.1))
+    first = gf.fill(fn_a).copy()
+    second = gf.fill(fn_b)  # reuses + resets the buffer from the first fill
+    fresh = GridFiller(resolution=64, max_batch=2**14).fill(fn_b)
+    np.testing.assert_array_equal(second, fresh)
+    # and filling fn_a again reproduces the original
+    np.testing.assert_array_equal(gf.fill(fn_a), first)
+
+
 def test_native_face_filter_prep_q16_matches_f32_prep():
     """q16 prep == f32 prep's midpoints put through the numpy quantizer."""
     from surfd_tpu import native
