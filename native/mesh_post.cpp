@@ -74,6 +74,167 @@ void unique_edges(const int64_t* faces, int64_t F, int64_t V,
   }
 }
 
+// Shared cleanup core operating on the FILTERED mesh (v2/f2) plus its edge
+// structure: ea/eb (endpoint ids in v2 numbering, border subset ascending by
+// (a,b)), counts (faces per edge; 0 = edge absent from the filtered mesh,
+// skipped everywhere), owner (a face of f2 using the edge — unambiguous for
+// border edges, the only place it is read). Steps 4-6 of the header comment.
+void cleanup_core(std::vector<float>& v2, std::vector<int64_t>& f2,
+                  int64_t V2, int64_t& F2,
+                  const std::vector<int64_t>& ea, const std::vector<int64_t>& eb,
+                  std::vector<int32_t>& counts, const std::vector<int64_t>& owner,
+                  int32_t fill_holes, int32_t smooth_iters, float lam,
+                  int32_t merge_decimals,
+                  float** out_verts, int64_t* out_nv,
+                  int64_t** out_faces, int64_t* out_nf) {
+  const int64_t E2 = (int64_t)ea.size();
+
+  // --- 4. fill 3-edge holes (single pass; see header equivalence note) ---
+  if (fill_holes && F2) {
+    // group border edges by their smaller endpoint for path continuation
+    std::vector<int64_t> border;  // edge ids, ascending (a,b) key order
+    for (int64_t e = 0; e < E2; ++e)
+      if (counts[e] == 1) border.push_back(e);
+    // start index per vertex into `border` (border is sorted by (a, b))
+    std::vector<int64_t> bstart((size_t)V2 + 1, 0);
+    for (int64_t i = 0; i < (int64_t)border.size(); ++i) ++bstart[ea[border[i]] + 1];
+    for (int64_t v = 0; v < V2; ++v) bstart[v + 1] += bstart[v];
+    auto find_border = [&](int64_t a, int64_t c) -> int64_t {
+      // binary search border edges with lo == a for hi == c
+      int64_t loi = bstart[a], hii = bstart[a + 1];
+      while (loi < hii) {
+        int64_t mid = (loi + hii) / 2;
+        int64_t e = border[mid];
+        if (eb[e] < c) loi = mid + 1;
+        else if (eb[e] > c) hii = mid;
+        else return e;
+      }
+      return -1;
+    };
+    std::vector<int64_t> newf;
+    for (int64_t bi = 0; bi < (int64_t)border.size(); ++bi) {
+      int64_t e_ab = border[bi];
+      int64_t a = ea[e_ab], b = eb[e_ab];
+      for (int64_t bj = bstart[b]; bj < bstart[b + 1]; ++bj) {
+        int64_t e_bc = border[bj];
+        int64_t c = eb[e_bc];  // c > b > a
+        int64_t e_ac = find_border(a, c);
+        if (e_ac < 0) continue;
+        // lone detached triangle re-adding itself is not a hole
+        if (owner[e_ab] == owner[e_bc] && owner[e_bc] == owner[e_ac]) continue;
+        newf.push_back(a);
+        newf.push_back(b);
+        newf.push_back(c);
+        // consume the three edges so the final border excludes them
+        ++counts[e_ab];
+        ++counts[e_bc];
+        ++counts[e_ac];
+      }
+    }
+    f2.insert(f2.end(), newf.begin(), newf.end());
+    F2 += (int64_t)newf.size() / 3;
+  }
+
+  // --- 5. border smoothing (Jacobi over border-to-border edges) ---
+  if (smooth_iters > 0 && E2) {
+    std::vector<int64_t> bmap((size_t)V2, -1);
+    int64_t NB = 0;
+    for (int64_t e = 0; e < E2; ++e)
+      if (counts[e] == 1) {
+        if (bmap[ea[e]] < 0) bmap[ea[e]] = NB++;
+        if (bmap[eb[e]] < 0) bmap[eb[e]] = NB++;
+      }
+    if (NB) {
+      std::vector<int64_t> binv((size_t)NB);
+      for (int64_t v = 0; v < V2; ++v)
+        if (bmap[v] >= 0) binv[bmap[v]] = v;
+      std::vector<std::pair<int32_t, int32_t>> bedges;
+      for (int64_t e = 0; e < E2; ++e)
+        if (counts[e] == 1)
+          bedges.push_back({(int32_t)bmap[ea[e]], (int32_t)bmap[eb[e]]});
+      std::vector<double> bv((size_t)NB * 3), acc((size_t)NB * 3);
+      std::vector<int32_t> deg((size_t)NB, 0);
+      for (int64_t i = 0; i < NB; ++i)
+        for (int k = 0; k < 3; ++k) bv[i * 3 + k] = v2[binv[i] * 3 + k];
+      for (auto& e : bedges) {
+        ++deg[e.first];
+        ++deg[e.second];
+      }
+      for (int it = 0; it < smooth_iters; ++it) {
+        std::fill(acc.begin(), acc.end(), 0.0);
+        for (auto& e : bedges) {
+          for (int k = 0; k < 3; ++k) {
+            acc[e.first * 3 + k] += bv[e.second * 3 + k];
+            acc[e.second * 3 + k] += bv[e.first * 3 + k];
+          }
+        }
+        for (int64_t i = 0; i < NB; ++i) {
+          if (!deg[i]) continue;
+          double inv_d = 1.0 / deg[i];
+          for (int k = 0; k < 3; ++k)
+            bv[i * 3 + k] += lam * (acc[i * 3 + k] * inv_d - bv[i * 3 + k]);
+        }
+      }
+      for (int64_t i = 0; i < NB; ++i)
+        for (int k = 0; k < 3; ++k) v2[binv[i] * 3 + k] = (float)bv[i * 3 + k];
+    }
+  }
+
+  // --- 6. merge duplicate vertices (quantized key; first occurrence wins) ---
+  int64_t V2m = V2;
+  if (merge_decimals > 0 && V2) {
+    const double scale = std::pow(10.0, merge_decimals);
+    std::vector<surfd::KV> kv((size_t)V2);
+    for (int64_t v = 0; v < V2; ++v) {
+      uint64_t key = 0;
+      for (int k = 0; k < 3; ++k) {
+        int64_t q = (int64_t)std::llround((double)v2[v * 3 + k] * scale) + (1 << 20);
+        key = (key << 21) | (uint64_t)(q & ((1 << 21) - 1));
+      }
+      kv[v] = {key, v};
+    }
+    surfd::radix_sort_kv(kv, UINT64_MAX >> 1);
+    std::vector<int64_t> vmap((size_t)V2);
+    std::vector<int64_t> rep;  // representative old id per merged vertex
+    uint64_t prev = UINT64_MAX;
+    int64_t gid = -1;
+    for (auto& p : kv) {
+      if (p.key != prev || gid < 0) {
+        prev = p.key;
+        ++gid;
+        rep.push_back(p.val);
+      } else if (p.val < rep[gid]) {
+        rep[gid] = p.val;  // lowest original index is the representative
+      }
+      vmap[p.val] = gid;
+    }
+    int64_t V3 = gid + 1;
+    std::vector<float> v3((size_t)V3 * 3);
+    for (int64_t i = 0; i < V3; ++i) std::memcpy(&v3[i * 3], &v2[rep[i] * 3], 12);
+    int64_t w = 0;
+    for (int64_t f = 0; f < F2; ++f) {
+      int64_t i0 = vmap[f2[f * 3]], i1 = vmap[f2[f * 3 + 1]], i2 = vmap[f2[f * 3 + 2]];
+      if (i0 == i1 || i1 == i2 || i0 == i2) continue;
+      f2[w * 3] = i0;
+      f2[w * 3 + 1] = i1;
+      f2[w * 3 + 2] = i2;
+      ++w;
+    }
+    F2 = w;
+    v2.swap(v3);
+    V2m = V3;
+  }
+
+  float* overts = (float*)std::malloc(sizeof(float) * std::max<int64_t>(3 * V2m, 1));
+  std::memcpy(overts, v2.data(), sizeof(float) * 3 * V2m);
+  int64_t* ofaces = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(3 * F2, 1));
+  std::memcpy(ofaces, f2.data(), sizeof(int64_t) * 3 * F2);
+  *out_verts = overts;
+  *out_nv = V2m;
+  *out_faces = ofaces;
+  *out_nf = F2;
+}
+
 }  // namespace
 
 extern "C" {
@@ -179,151 +340,72 @@ void surfd_finalize_mesh(
   std::vector<int64_t> ea, eb, owner;
   std::vector<int32_t> counts;
   if (F2) unique_edges(f2.data(), F2, V2, einv2.data(), ea, eb, counts, owner);
-  const int64_t E2 = (int64_t)ea.size();
 
-  // --- 4. fill 3-edge holes (single pass; see header equivalence note) ---
-  if (fill_holes && F2) {
-    // group border edges by their smaller endpoint for path continuation
-    std::vector<int64_t> border;  // edge ids, ascending (a,b) key order
-    for (int64_t e = 0; e < E2; ++e)
-      if (counts[e] == 1) border.push_back(e);
-    // start index per vertex into `border` (border is sorted by (a, b))
-    std::vector<int64_t> bstart((size_t)V2 + 1, 0);
-    for (int64_t i = 0; i < (int64_t)border.size(); ++i) ++bstart[ea[border[i]] + 1];
-    for (int64_t v = 0; v < V2; ++v) bstart[v + 1] += bstart[v];
-    auto find_border = [&](int64_t a, int64_t c) -> int64_t {
-      // binary search border edges with lo == a for hi == c
-      int64_t loi = bstart[a], hii = bstart[a + 1];
-      while (loi < hii) {
-        int64_t mid = (loi + hii) / 2;
-        int64_t e = border[mid];
-        if (eb[e] < c) loi = mid + 1;
-        else if (eb[e] > c) hii = mid;
-        else return e;
-      }
-      return -1;
-    };
-    std::vector<int64_t> newf;
-    for (int64_t bi = 0; bi < (int64_t)border.size(); ++bi) {
-      int64_t e_ab = border[bi];
-      int64_t a = ea[e_ab], b = eb[e_ab];
-      for (int64_t bj = bstart[b]; bj < bstart[b + 1]; ++bj) {
-        int64_t e_bc = border[bj];
-        int64_t c = eb[e_bc];  // c > b > a
-        int64_t e_ac = find_border(a, c);
-        if (e_ac < 0) continue;
-        // lone detached triangle re-adding itself is not a hole
-        if (owner[e_ab] == owner[e_bc] && owner[e_bc] == owner[e_ac]) continue;
-        newf.push_back(a);
-        newf.push_back(b);
-        newf.push_back(c);
-        // consume the three edges so the final border excludes them
-        ++counts[e_ab];
-        ++counts[e_bc];
-        ++counts[e_ac];
-      }
-    }
-    f2.insert(f2.end(), newf.begin(), newf.end());
-    F2 += (int64_t)newf.size() / 3;
+  cleanup_core(v2, f2, V2, F2, ea, eb, counts, owner,
+               fill_holes, smooth_iters, lam, merge_decimals,
+               out_verts, out_nv, out_faces, out_nf);
+}
+
+// Fused keep-filter + cleanup REUSING the edge structure emitted by
+// surfd_mt_emit_edges: einv (F,3) unique-edge ids of the UNFILTERED mesh,
+// ea/eb (E,) its edge endpoints in ascending (a,b) order. The filtered
+// mesh's edge structure is derived by a linear bincount over the kept
+// faces' einv — no second radix sort over the face soup. The vertex remap
+// is monotone, so the ascending edge order cleanup_core relies on survives.
+void surfd_finalize_mesh_pre(
+    const float* verts, int64_t V, const int64_t* faces, int64_t F,
+    const uint8_t* ok, const int64_t* einv,
+    const int64_t* ea_in, const int64_t* eb_in, int64_t E,
+    int32_t fill_holes, int32_t smooth_iters, float lam, int32_t merge_decimals,
+    float** out_verts, int64_t* out_nv, int64_t** out_faces, int64_t* out_nf) {
+  // --- 1. keep mask: all 3 vertices and all 3 edge midpoints below ---
+  std::vector<int64_t> kept;
+  kept.reserve(F);
+  for (int64_t f = 0; f < F; ++f) {
+    const int64_t* tri = faces + f * 3;
+    if (ok[tri[0]] && ok[tri[1]] && ok[tri[2]] &&
+        ok[V + einv[f * 3]] && ok[V + einv[f * 3 + 1]] && ok[V + einv[f * 3 + 2]])
+      kept.push_back(f);
   }
 
-  // --- 5. border smoothing (Jacobi over border-to-border edges) ---
-  if (smooth_iters > 0 && E2) {
-    std::vector<int64_t> bmap((size_t)V2, -1);
-    int64_t NB = 0;
-    for (int64_t e = 0; e < E2; ++e)
-      if (counts[e] == 1) {
-        if (bmap[ea[e]] < 0) bmap[ea[e]] = NB++;
-        if (bmap[eb[e]] < 0) bmap[eb[e]] = NB++;
-      }
-    if (NB) {
-      std::vector<int64_t> binv((size_t)NB);
-      for (int64_t v = 0; v < V2; ++v)
-        if (bmap[v] >= 0) binv[bmap[v]] = v;
-      std::vector<std::pair<int32_t, int32_t>> bedges;
-      for (int64_t e = 0; e < E2; ++e)
-        if (counts[e] == 1)
-          bedges.push_back({(int32_t)bmap[ea[e]], (int32_t)bmap[eb[e]]});
-      std::vector<double> bv((size_t)NB * 3), acc((size_t)NB * 3);
-      std::vector<int32_t> deg((size_t)NB, 0);
-      for (int64_t i = 0; i < NB; ++i)
-        for (int k = 0; k < 3; ++k) bv[i * 3 + k] = v2[binv[i] * 3 + k];
-      for (auto& e : bedges) {
-        ++deg[e.first];
-        ++deg[e.second];
-      }
-      for (int it = 0; it < smooth_iters; ++it) {
-        std::fill(acc.begin(), acc.end(), 0.0);
-        for (auto& e : bedges) {
-          for (int k = 0; k < 3; ++k) {
-            acc[e.first * 3 + k] += bv[e.second * 3 + k];
-            acc[e.second * 3 + k] += bv[e.first * 3 + k];
-          }
-        }
-        for (int64_t i = 0; i < NB; ++i) {
-          if (!deg[i]) continue;
-          double inv_d = 1.0 / deg[i];
-          for (int k = 0; k < 3; ++k)
-            bv[i * 3 + k] += lam * (acc[i * 3 + k] * inv_d - bv[i * 3 + k]);
-        }
-      }
-      for (int64_t i = 0; i < NB; ++i)
-        for (int k = 0; k < 3; ++k) v2[binv[i] * 3 + k] = (float)bv[i * 3 + k];
+  // --- 2. remap vertices (drop unreferenced; new ids ascend with old) ---
+  std::vector<int64_t> remap((size_t)V, -1);
+  for (int64_t f : kept)
+    for (int k = 0; k < 3; ++k) remap[faces[f * 3 + k]] = 0;
+  int64_t V2 = 0;
+  for (int64_t v = 0; v < V; ++v)
+    if (remap[v] == 0) remap[v] = V2++;
+    else remap[v] = -1;
+  std::vector<float> v2((size_t)V2 * 3);
+  for (int64_t v = 0; v < V; ++v)
+    if (remap[v] >= 0) std::memcpy(&v2[remap[v] * 3], verts + v * 3, 12);
+  std::vector<int64_t> f2;
+  f2.reserve(kept.size() * 3);
+  for (int64_t f : kept)
+    for (int k = 0; k < 3; ++k) f2.push_back(remap[faces[f * 3 + k]]);
+  int64_t F2 = (int64_t)kept.size();
+
+  // --- 3'. filtered-mesh edge structure by bincount (linear, no sort) ---
+  std::vector<int32_t> counts((size_t)E, 0);
+  std::vector<int64_t> owner((size_t)E, -1);
+  for (int64_t i = 0; i < F2; ++i) {
+    const int64_t* ei = einv + kept[i] * 3;
+    for (int k = 0; k < 3; ++k) {
+      ++counts[ei[k]];
+      owner[ei[k]] = i;
     }
   }
-
-  // --- 6. merge duplicate vertices (quantized key; first occurrence wins) ---
-  if (merge_decimals > 0 && V2) {
-    const double scale = std::pow(10.0, merge_decimals);
-    std::vector<surfd::KV> kv((size_t)V2);
-    for (int64_t v = 0; v < V2; ++v) {
-      uint64_t key = 0;
-      for (int k = 0; k < 3; ++k) {
-        int64_t q = (int64_t)std::llround((double)v2[v * 3 + k] * scale) + (1 << 20);
-        key = (key << 21) | (uint64_t)(q & ((1 << 21) - 1));
-      }
-      kv[v] = {key, v};
-    }
-    surfd::radix_sort_kv(kv, UINT64_MAX >> 1);
-    std::vector<int64_t> vmap((size_t)V2);
-    std::vector<int64_t> rep;  // representative old id per merged vertex
-    uint64_t prev = UINT64_MAX;
-    int64_t gid = -1;
-    for (auto& p : kv) {
-      if (p.key != prev || gid < 0) {
-        prev = p.key;
-        ++gid;
-        rep.push_back(p.val);
-      } else if (p.val < rep[gid]) {
-        rep[gid] = p.val;  // lowest original index is the representative
-      }
-      vmap[p.val] = gid;
-    }
-    int64_t V3 = gid + 1;
-    std::vector<float> v3((size_t)V3 * 3);
-    for (int64_t i = 0; i < V3; ++i) std::memcpy(&v3[i * 3], &v2[rep[i] * 3], 12);
-    int64_t w = 0;
-    for (int64_t f = 0; f < F2; ++f) {
-      int64_t i0 = vmap[f2[f * 3]], i1 = vmap[f2[f * 3 + 1]], i2 = vmap[f2[f * 3 + 2]];
-      if (i0 == i1 || i1 == i2 || i0 == i2) continue;
-      f2[w * 3] = i0;
-      f2[w * 3 + 1] = i1;
-      f2[w * 3 + 2] = i2;
-      ++w;
-    }
-    F2 = w;
-    v2.swap(v3);
-    V2 = V3;
+  std::vector<int64_t> ea((size_t)E), eb((size_t)E);
+  for (int64_t e = 0; e < E; ++e) {
+    // edges absent from the filtered mesh (counts 0) are never read by the
+    // core; their endpoints may be dropped vertices (remap -1)
+    ea[e] = counts[e] ? remap[ea_in[e]] : -1;
+    eb[e] = counts[e] ? remap[eb_in[e]] : -1;
   }
 
-  float* overts = (float*)std::malloc(sizeof(float) * std::max<int64_t>(3 * V2, 1));
-  std::memcpy(overts, v2.data(), sizeof(float) * 3 * V2);
-  int64_t* ofaces = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(3 * F2, 1));
-  std::memcpy(ofaces, f2.data(), sizeof(int64_t) * 3 * F2);
-  *out_verts = overts;
-  *out_nv = V2;
-  *out_faces = ofaces;
-  *out_nf = F2;
+  cleanup_core(v2, f2, V2, F2, ea, eb, counts, owner,
+               fill_holes, smooth_iters, lam, merge_decimals,
+               out_verts, out_nv, out_faces, out_nf);
 }
 
 }  // extern "C"

@@ -86,6 +86,23 @@ def _load() -> ctypes.CDLL:
         i64p, ctypes.c_int64, i8p,
         ctypes.POINTER(fp), i64p, ctypes.POINTER(i64p), i64p,
     ]
+    lib.surfd_mt_emit_edges.restype = ctypes.c_int64
+    lib.surfd_mt_emit_edges.argtypes = [
+        fp, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+        i64p, ctypes.c_int64, i8p,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(fp), i64p, ctypes.POINTER(i64p), i64p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)), ctypes.POINTER(i64p),
+        ctypes.POINTER(i64p), ctypes.POINTER(i64p), i64p,
+    ]
+    lib.surfd_finalize_mesh_pre.restype = None
+    lib.surfd_finalize_mesh_pre.argtypes = [
+        fp, ctypes.c_int64, i64p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), i64p,
+        i64p, i64p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+        ctypes.POINTER(fp), i64p, ctypes.POINTER(i64p), i64p,
+    ]
     lib.surfd_mt_active_cubes_blocks.restype = ctypes.c_int64
     lib.surfd_mt_active_cubes_blocks.argtypes = [
         fp, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
@@ -236,6 +253,90 @@ def mt_emit(udf: np.ndarray, lo: float, spacing: float, cube_ids: np.ndarray, g8
         u.ctypes.data_as(fp), R, ctypes.c_float(lo), ctypes.c_float(spacing),
         ids.ctypes.data_as(i64p), len(ids),
         g.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.byref(overts), ctypes.byref(nv), ctypes.byref(ofaces), ctypes.byref(nf),
+    )
+    V, F = int(nv.value), int(nf.value)
+    return (
+        _own(overts, (max(V, 1), 3), V),
+        _own(ofaces, (max(F, 1), 3), F),
+    )
+
+
+def mt_emit_edges(
+    udf: np.ndarray, lo: float, spacing: float, cube_ids: np.ndarray,
+    g8: np.ndarray, qlo: float, qinv: float,
+):
+    """mt_emit + the face filter's edge structure in one C++ pass.
+
+    Returns (verts (V,3) f32, faces (F,3) i64, qpts (V+E,3) u16,
+    einv (F,3) i64, ea (E,) i64, eb (E,) i64) where qpts is the filter's
+    query set [vertices; unique-edge midpoints] pre-quantized to the 2^16
+    coords grid (q = rint((p - qlo) * qinv)). Replaces the separate
+    face_filter_prep re-walk of the mesh.
+    """
+    lib = _load()
+    u = np.ascontiguousarray(udf, dtype=np.float32)
+    R = u.shape[0]
+    ids = np.ascontiguousarray(cube_ids, dtype=np.int64)
+    g = np.ascontiguousarray(g8, dtype=np.int8)
+    fp = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    overts, ofaces = fp(), i64p()
+    nv, nf, nE = ctypes.c_int64(), ctypes.c_int64(), ctypes.c_int64()
+    oq = ctypes.POINTER(ctypes.c_uint16)()
+    oeinv, oea, oeb = i64p(), i64p(), i64p()
+    lib.surfd_mt_emit_edges(
+        u.ctypes.data_as(fp), R, ctypes.c_float(lo), ctypes.c_float(spacing),
+        ids.ctypes.data_as(i64p), len(ids),
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_float(qlo), ctypes.c_float(qinv),
+        ctypes.byref(overts), ctypes.byref(nv), ctypes.byref(ofaces), ctypes.byref(nf),
+        ctypes.byref(oq), ctypes.byref(oeinv),
+        ctypes.byref(oea), ctypes.byref(oeb), ctypes.byref(nE),
+    )
+    V, F, E = int(nv.value), int(nf.value), int(nE.value)
+    return (
+        _own(overts, (max(V, 1), 3), V),
+        _own(ofaces, (max(F, 1), 3), F),
+        _own(oq, (max(V + E, 1), 3), V + E),
+        _own(oeinv, (max(F, 1), 3), F),
+        _own(oea, (max(E, 1),), E),
+        _own(oeb, (max(E, 1),), E),
+    )
+
+
+def finalize_mesh_pre(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    ok: np.ndarray,
+    einv: np.ndarray,
+    ea: np.ndarray,
+    eb: np.ndarray,
+    fill_holes: bool = True,
+    smooth_iters: int = 20,
+    lam: float = 0.3,
+    merge_decimals: int = 6,
+):
+    """finalize_mesh reusing the edge structure from mt_emit_edges — the
+    filtered mesh's edges come from a linear bincount instead of a second
+    radix sort over the face soup."""
+    lib = _load()
+    v = np.ascontiguousarray(vertices, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int64)
+    okc = np.ascontiguousarray(ok, dtype=np.uint8)
+    ei = np.ascontiguousarray(einv, dtype=np.int64)
+    eac = np.ascontiguousarray(ea, dtype=np.int64)
+    ebc = np.ascontiguousarray(eb, dtype=np.int64)
+    fp = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    overts, ofaces = fp(), i64p()
+    nv, nf = ctypes.c_int64(), ctypes.c_int64()
+    lib.surfd_finalize_mesh_pre(
+        v.ctypes.data_as(fp), len(v), f.ctypes.data_as(i64p), len(f),
+        okc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ei.ctypes.data_as(i64p),
+        eac.ctypes.data_as(i64p), ebc.ctypes.data_as(i64p), len(eac),
+        1 if fill_holes else 0, smooth_iters, ctypes.c_float(lam), merge_decimals,
         ctypes.byref(overts), ctypes.byref(nv), ctypes.byref(ofaces), ctypes.byref(nf),
     )
     V, F = int(nv.value), int(nf.value)

@@ -348,13 +348,27 @@ def get_mesh_from_udf(
         # touches — no dense (R³, 3) gradient grid is built or transferred.
         grad_at = lambda pts: eval_in_chunks(grad_fn, pts, cfg.max_batch, mesh=cfg.mesh)
         grad_at.by_gid = False
+    # When the fused quantized filter will run, the marching emit pass also
+    # returns the mesh's unique-edge structure + pre-quantized query points
+    # (one hot pass instead of a separate prep re-walk of the face soup).
+    from .. import native
+
+    q16_bound = getattr(udf_fn, "below_packed_q16_bound", None)
+    qstep = (hi_ - lo_) / 65535.0
+    want_edges = (
+        cfg.filter_faces
+        and cfg.quantized_filter_points
+        and q16_bound is not None
+        and native.available()
+    )
+    edges: dict = {}
     mesh = marching_tetrahedra_udf(
-        grid, grad_at, cfg.coords_range, times=times, active_blocks=active_blocks
+        grid, grad_at, cfg.coords_range, times=times, active_blocks=active_blocks,
+        edges_out=edges if want_edges else None,
+        edges_quant=(lo_, 1.0 / qstep) if want_edges else None,
     )
     times["marching"] = time.perf_counter() - t0
     stats["raw_faces"] = len(mesh.faces)
-
-    from .. import native
 
     fused = cfg.filter_faces and len(mesh.faces) > 0 and native.available()
     if fused:
@@ -364,17 +378,22 @@ def get_mesh_from_udf(
         # fill, border smoothing, vertex merge).
         t0 = time.perf_counter()
         threshold = cfg.face_filter_mult / cfg.resolution
-        q16_bound = getattr(udf_fn, "below_packed_q16_bound", None)
         packed_bound = getattr(udf_fn, "below_packed_bound", None)
         below_bound = getattr(udf_fn, "below_bound", None)
-        if q16_bound is not None and cfg.quantized_filter_points:
-            # uint16 coords (half the upload) + packed-bit mask downloads;
-            # quantization half-step 1.5e-5 ≈ 0.8% of the 1/512 threshold.
-            # Overlap: the vertex queries are known before the edge structure,
-            # so their upload + decoder eval is dispatched asynchronously and
-            # runs while the C++ prep radix-sorts the edges and quantizes the
-            # midpoints (ctypes releases the GIL).
-            qstep = (hi_ - lo_) / 65535.0
+        pre = "qpts" in edges
+        if pre:
+            # query points came pre-quantized out of the emit pass; uint16
+            # coords (half the upload) + packed-bit mask download (the
+            # quantization half-step 1.5e-5 ≈ 0.8% of the 1/512 threshold)
+            ok = eval_in_chunks(
+                q16_bound(threshold, lo_, qstep), edges["qpts"], cfg.max_batch,
+                unpack_bits=True, mesh=cfg.mesh,
+            )
+            einv = edges["einv"]
+        elif q16_bound is not None and cfg.quantized_filter_points:
+            # same filter when marching didn't run the native emit (e.g. a
+            # dense-gradient input): prep the points, overlapping the vertex
+            # eval with the C++ edge sort
             bound = q16_bound(threshold, lo_, qstep)
             qverts = np.clip(
                 np.rint((mesh.vertices - lo_) * (1.0 / qstep)), 0, 65535
@@ -410,16 +429,27 @@ def get_mesh_from_udf(
         times["face_filter"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        v, f = native.finalize_mesh(
-            mesh.vertices,
-            mesh.faces,
-            ok,
-            einv,
-            fill_holes=cfg.do_stabilize,
-            smooth_iters=20 if cfg.do_smooth_borders else 0,
-            lam=0.3,
-            merge_decimals=6,
-        )
+        if pre:
+            # reuse the emit pass's edge structure: the filtered mesh's edge
+            # counts come from a linear bincount, not a second radix sort
+            v, f = native.finalize_mesh_pre(
+                mesh.vertices, mesh.faces, ok, einv, edges["ea"], edges["eb"],
+                fill_holes=cfg.do_stabilize,
+                smooth_iters=20 if cfg.do_smooth_borders else 0,
+                lam=0.3,
+                merge_decimals=6,
+            )
+        else:
+            v, f = native.finalize_mesh(
+                mesh.vertices,
+                mesh.faces,
+                ok,
+                einv,
+                fill_holes=cfg.do_stabilize,
+                smooth_iters=20 if cfg.do_smooth_borders else 0,
+                lam=0.3,
+                merge_decimals=6,
+            )
         mesh = Mesh(v, f)
         if cfg.final_laplacian_iters:
             mesh = laplacian_smooth(mesh, iterations=cfg.final_laplacian_iters, lam=0.5)
