@@ -47,6 +47,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
         "--data_parallel", action="store_true",
         help="shard the UDF grid-query stream over all devices ('data' mesh axis)",
     )
+    ap.add_argument(
+        "--pipeline_depth", type=int, default=1,
+        help="overlap host/device phases across samples (2 on PCIe-attached "
+        "hosts; keep 1 on serial tunnelled links — see pipelines/batch.py)",
+    )
     return ap
 
 
@@ -161,19 +166,23 @@ def run_generation(args, cond_mode: str, context=None, action=None, tag: str = "
         final_laplacian_iters=args.smooth_iters,
         mesh=mesh_axes,
     )
+    # Extractions run through the batch generator; --pipeline_depth 2
+    # overlaps sample k's host passes (marching emit, cleanup) with sample
+    # k+1's device passes on hosts whose device link can take it
+    # (pipelines/batch.py documents the measured tradeoff).
+    from ..pipelines import generate_meshes_pipelined
+
+    depth = max(1, getattr(args, "pipeline_depth", 1))
+    fns = (make_udf_fn(decoder, dec_vars, latents[k]) for k in range(args.num_samples))
     out_paths = []
-    for k in range(args.num_samples):
-        udf_fn = make_udf_fn(decoder, dec_vars, latents[k])
-        t0 = time.perf_counter()
-        if args.watertight:
-            mesh = get_watertight_mesh_from_udf(udf_fn, cfg)
-        else:
-            mesh = get_mesh_from_udf(udf_fn, cfg=cfg)
+    t0 = time.perf_counter()
+    gen = generate_meshes_pipelined(fns, cfg, watertight=args.watertight, depth=depth)
+    for k, mesh in enumerate(gen):
         path = os.path.join(args.output_dir, f"{tag}_{k}.obj")
         write_obj(path, mesh)
         print(
             f"[{k}] {len(mesh.vertices)} verts / {len(mesh.faces)} faces "
-            f"in {time.perf_counter()-t0:.2f}s → {path}",
+            f"at t+{time.perf_counter()-t0:.2f}s → {path}",
             file=sys.stderr,
         )
         out_paths.append(path)

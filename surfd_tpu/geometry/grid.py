@@ -335,9 +335,12 @@ def auto_block_size(
 # Reusable dense-grid buffers keyed by (N, max_dist): first-touch page
 # allocation of a fresh 512³ f32 grid is pathologically slow on this VM
 # (~10 MB/s kernel zeroing under memory pressure), so repeated fills reuse
-# one buffer and reset only the blocks the previous fill wrote. Single-
-# threaded use only (the CLI/pipeline pattern).
+# a pooled buffer and reset only the blocks the previous fill wrote. The
+# pool (instead of a single slot) keeps the pipelined batch generator's
+# concurrent fills each on their own settled buffer; list append/pop are
+# GIL-atomic.
 _GRID_BUF_CACHE: dict = {}
+_GRID_BUF_POOL_MAX = 4
 
 
 class GridFiller:
@@ -454,7 +457,9 @@ class GridFiller:
                     (az[:, None] + r)[:, None, None, :],
                 ] = vals
         if self.reuse_buffer:
-            _GRID_BUF_CACHE[(N, round(float(self.max_dist), 9))] = (grid, ab32, B)
+            pool = _GRID_BUF_CACHE.setdefault((N, round(float(self.max_dist), 9)), [])
+            if len(pool) < _GRID_BUF_POOL_MAX:
+                pool.append((grid, ab32, B))
 
         if return_stats:
             stats = {
@@ -476,10 +481,10 @@ class GridFiller:
         if not self.reuse_buffer:
             return np.full((N, N, N), self.max_dist, dtype=np.float32)
         key = (N, round(float(self.max_dist), 9))
-        ent = _GRID_BUF_CACHE.pop(key, None)
-        if ent is None:
+        pool = _GRID_BUF_CACHE.get(key)
+        if not pool:
             return np.full((N, N, N), self.max_dist, dtype=np.float32)
-        grid, prev_ab, prev_B = ent
+        grid, prev_ab, prev_B = pool.pop()
         if len(prev_ab):
             from .. import native
 

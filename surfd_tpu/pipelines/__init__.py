@@ -1,3 +1,4 @@
+from .batch import generate_meshes, generate_meshes_pipelined
 from .generate import (
     MeshExtractionConfig,
     filter_faces_by_udf,

@@ -1,0 +1,100 @@
+"""Batch mesh generation, with an optional host/device software pipeline.
+
+The reference generates samples strictly sequentially
+(/root/reference/sample/generate_uncond.py:86-176: one latent → one full
+extraction → next). One 512³ extraction here alternates device phases
+(grid fill, gradient eval, face-filter eval — transfers + TPU compute) with
+host phases (marching emit, cleanup — native C++); neither side is busy
+during the other's phases, so a depth-2 pipeline can overlap sample i's
+host work with sample i+1's device work.
+
+Mechanism: each extraction runs unchanged in its own worker thread — JAX
+dispatch/transfers release the GIL, and so do the ctypes calls into the
+native passes. Shared caches are benign under the GIL: the compiled-
+executable maps re-trace at worst, and the dense-grid buffer pool hands
+concurrent fills distinct buffers, settling at one per pipeline slot.
+
+**Default is sequential (depth=1).** The pipeline pays off only when the
+host↔device link has bandwidth to spare for the overlap; measured on this
+deployment's tunnelled single link (~30 MB/s, serial), depth=2 was ~1.8×
+SLOWER per mesh (9.4 s vs 5.2 s) — interleaved streams contend for the one
+link that is already the critical path. On a PCIe-attached production host
+the device phases are compute-dominated and depth=2 is the right setting.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Iterator, Optional
+
+from .generate import MeshExtractionConfig, get_mesh_from_udf, get_watertight_mesh_from_udf
+
+
+def generate_meshes_pipelined(
+    udf_fns: Iterable[Callable],
+    cfg: MeshExtractionConfig = MeshExtractionConfig(),
+    watertight: bool = False,
+    depth: int = 1,
+    return_stats: bool = False,
+) -> Iterator:
+    """Yield one extracted mesh per udf_fn, in order, pipelined `depth` deep.
+
+    udf_fns: iterable of per-latent UDF closures (pipelines.make_udf_fn
+    re-binds share compiled executables, so constructing them is cheap).
+    Yields Mesh, or (Mesh, stats) with return_stats (non-watertight only).
+    """
+    if watertight:
+        extract = lambda fn: get_watertight_mesh_from_udf(fn, cfg)
+    elif return_stats:
+        extract = lambda fn: get_mesh_from_udf(fn, cfg=cfg, return_stats=True)
+    else:
+        extract = lambda fn: get_mesh_from_udf(fn, cfg=cfg)
+
+    with ThreadPoolExecutor(max_workers=max(1, depth)) as pool:
+        pending = []
+        it = iter(udf_fns)
+        try:
+            for _ in range(max(1, depth)):
+                pending.append(pool.submit(extract, next(it)))
+        except StopIteration:
+            pass
+        while pending:
+            fut = pending.pop(0)
+            try:
+                pending.append(pool.submit(extract, next(it)))
+            except StopIteration:
+                pass
+            yield fut.result()
+
+
+def generate_meshes(
+    decoder,
+    decoder_vars,
+    latents,
+    cfg: MeshExtractionConfig = MeshExtractionConfig(),
+    watertight: bool = False,
+    pipelined: bool = False,
+    coords_encoder=None,
+    max_dist: float = 0.1,
+    on_mesh: Optional[Callable] = None,
+):
+    """Batch front door: (B, L) latents → list of cleaned meshes.
+
+    pipelined=True enables the depth-2 host/device overlap — see the module
+    docstring for when that helps (PCIe hosts) and when it hurts (serial
+    tunnelled links)."""
+    from .generate import make_udf_fn
+
+    fns = (
+        make_udf_fn(decoder, decoder_vars, lat, coords_encoder, max_dist)
+        for lat in latents
+    )
+    out = []
+    gen = generate_meshes_pipelined(
+        fns, cfg, watertight=watertight, depth=2 if pipelined else 1
+    )
+    for k, mesh in enumerate(gen):
+        if on_mesh is not None:
+            on_mesh(k, mesh)
+        out.append(mesh)
+    return out

@@ -233,6 +233,32 @@ def test_train_then_sample_roundtrip():
     assert err < 0.15, err
 
 
+def test_pipelined_batch_matches_sequential():
+    """The 2-deep pipelined batch generator must produce exactly the meshes
+    the sequential loop produces, in order."""
+    from surfd_tpu.pipelines import MeshExtractionConfig, generate_meshes
+
+    decoder = CbnDecoder(latent_dim=8, hidden_dim=32, num_hidden_layers=2)
+    ce = CoordsEncoder()
+    lat0 = jnp.ones((1, 8)) * 0.1
+    dv = decoder.init(jax.random.PRNGKey(0), ce.encode(jnp.zeros((1, 8, 3))), lat0)
+    dv = jax.tree.map(
+        lambda a: a + 0.3 * jax.random.normal(jax.random.PRNGKey(3), a.shape, a.dtype)
+        if a.dtype == jnp.float32 else a,
+        dv,
+    )
+    latents = jnp.stack([lat0[0], lat0[0] * 0.5, -lat0[0]])
+    cfg = MeshExtractionConfig(
+        resolution=48, max_batch=2**12, filter_faces=True, face_filter_mult=8.0
+    )
+    seq = generate_meshes(decoder, dv, latents, cfg, pipelined=False)
+    pipe = generate_meshes(decoder, dv, latents, cfg, pipelined=True)
+    assert len(seq) == len(pipe) == 3
+    for a, b in zip(seq, pipe):
+        np.testing.assert_array_equal(a.faces, b.faces)
+        np.testing.assert_allclose(a.vertices, b.vertices, atol=1e-6)
+
+
 def test_sharded_grid_eval_matches_single_device():
     """VERDICT r1 next #6: the generation pipeline's grid-query stream shards
     over a 'data' mesh; the extracted mesh must be identical to the
