@@ -111,10 +111,13 @@ def main():
     # The fit is EXCLUDED from the metric; cache the fitted params on disk so
     # repeat runs skip the 2500 sequential tunnel round trips (under co-tenant
     # load the fit alone can take >15 min).
-    decoder = CbnDecoder(latent_dim=L, hidden_dim=512, num_hidden_layers=5)
+    hidden, layers = 512, 5
+    decoder = CbnDecoder(latent_dim=L, hidden_dim=hidden, num_hidden_layers=layers)
     ce = CoordsEncoder()
     latent = jnp.full((1, L), 0.1, jnp.float32)
-    cache_path = f"/tmp/surfd_bench_decoder_L{L}_s{args.fit_steps}.npz"
+    # key carries every setting the fit depends on — a stale cache after an
+    # architecture edit would silently benchmark the wrong decoder
+    cache_path = f"/tmp/surfd_bench_decoder_L{L}_h{hidden}x{layers}_s{args.fit_steps}.npz"
     import os
 
     import flax

@@ -487,15 +487,18 @@ static int64_t mt_emit_impl(
   int64_t T = 0;
   for (auto& v : tbuf) T += (int64_t)v.size();
   if (T == 0) {
-    *out_verts = (float*)std::malloc(4);
+    // stub sizes match the (1, 3) / (1,) shapes the ctypes wrappers declare
+    // for empty results (the rows are sliced away, but the view must not
+    // extend past the allocation)
+    *out_verts = (float*)std::malloc(3 * sizeof(float));
     *out_nverts = 0;
-    *out_faces = (int64_t*)std::malloc(8);
+    *out_faces = (int64_t*)std::malloc(3 * sizeof(int64_t));
     *out_nfaces = 0;
     if (eo) {
-      eo->qpts = (uint16_t*)std::malloc(2);
-      eo->einv = (int64_t*)std::malloc(8);
-      eo->ea = (int64_t*)std::malloc(8);
-      eo->eb = (int64_t*)std::malloc(8);
+      eo->qpts = (uint16_t*)std::malloc(3 * sizeof(uint16_t));
+      eo->einv = (int64_t*)std::malloc(3 * sizeof(int64_t));
+      eo->ea = (int64_t*)std::malloc(sizeof(int64_t));
+      eo->eb = (int64_t*)std::malloc(sizeof(int64_t));
       eo->E = 0;
     }
     return 0;
@@ -582,7 +585,7 @@ static int64_t mt_emit_impl(
     }
     surfd::radix_sort_kv(ekv, NVV * NVV);
     PT.mark("edge_sort");
-    int64_t* einv = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(F * 3, 1));
+    int64_t* einv = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(F * 3, 3));
     std::vector<int64_t> ea_v, eb_v;
     ea_v.reserve(F * 2);
     eb_v.reserve(F * 2);

@@ -225,14 +225,46 @@ void cleanup_core(std::vector<float>& v2, std::vector<int64_t>& f2,
     V2m = V3;
   }
 
-  float* overts = (float*)std::malloc(sizeof(float) * std::max<int64_t>(3 * V2m, 1));
+  float* overts = (float*)std::malloc(sizeof(float) * std::max<int64_t>(3 * V2m, 3));
   std::memcpy(overts, v2.data(), sizeof(float) * 3 * V2m);
-  int64_t* ofaces = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(3 * F2, 1));
+  int64_t* ofaces = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(3 * F2, 3));
   std::memcpy(ofaces, f2.data(), sizeof(int64_t) * 3 * F2);
   *out_verts = overts;
   *out_nv = V2m;
   *out_faces = ofaces;
   *out_nf = F2;
+}
+
+// Steps 1-2 shared by both finalize entry points: keep faces whose 3
+// vertices and 3 edge midpoints are all below-threshold, then remap to a
+// compact vertex set (new ids ascend with old — monotone, which preserves
+// the ascending edge order cleanup_core relies on).
+void keep_and_remap(const float* verts, int64_t V, const int64_t* faces,
+                    int64_t F, const uint8_t* ok, const int64_t* einv,
+                    std::vector<int64_t>& kept, std::vector<int64_t>& remap,
+                    std::vector<float>& v2, std::vector<int64_t>& f2,
+                    int64_t& V2, int64_t& F2) {
+  kept.reserve(F);
+  for (int64_t f = 0; f < F; ++f) {
+    const int64_t* tri = faces + f * 3;
+    if (ok[tri[0]] && ok[tri[1]] && ok[tri[2]] &&
+        ok[V + einv[f * 3]] && ok[V + einv[f * 3 + 1]] && ok[V + einv[f * 3 + 2]])
+      kept.push_back(f);
+  }
+  remap.assign((size_t)V, -1);
+  for (int64_t f : kept)
+    for (int k = 0; k < 3; ++k) remap[faces[f * 3 + k]] = 0;
+  V2 = 0;
+  for (int64_t v = 0; v < V; ++v)
+    if (remap[v] == 0) remap[v] = V2++;
+    else remap[v] = -1;
+  v2.resize((size_t)V2 * 3);
+  for (int64_t v = 0; v < V; ++v)
+    if (remap[v] >= 0) std::memcpy(&v2[remap[v] * 3], verts + v * 3, 12);
+  f2.reserve(kept.size() * 3);
+  for (int64_t f : kept)
+    for (int k = 0; k < 3; ++k) f2.push_back(remap[faces[f * 3 + k]]);
+  F2 = (int64_t)kept.size();
 }
 
 }  // namespace
@@ -247,7 +279,7 @@ extern "C" {
 int64_t surfd_face_filter_prep(
     const float* verts, int64_t V, const int64_t* faces, int64_t F,
     float** out_pts, int64_t** out_einv) {
-  int64_t* einv = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(F * 3, 1));
+  int64_t* einv = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(F * 3, 3));
   std::vector<int64_t> ea, eb, owner;
   std::vector<int32_t> counts;
   ea.reserve(F * 2);
@@ -278,7 +310,7 @@ int64_t surfd_face_filter_prep_q16(
     const float* verts, int64_t V, const int64_t* faces, int64_t F,
     float qlo, float qinv,
     uint16_t** out_qpts, int64_t** out_einv) {
-  int64_t* einv = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(F * 3, 1));
+  int64_t* einv = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(F * 3, 3));
   std::vector<int64_t> ea, eb, owner;
   std::vector<int32_t> counts;
   ea.reserve(F * 2);
@@ -308,32 +340,10 @@ void surfd_finalize_mesh(
     const uint8_t* ok, const int64_t* einv,
     int32_t fill_holes, int32_t smooth_iters, float lam, int32_t merge_decimals,
     float** out_verts, int64_t* out_nv, int64_t** out_faces, int64_t* out_nf) {
-  // --- 1. keep mask: all 3 vertices and all 3 edge midpoints below ---
-  std::vector<int64_t> kept;
-  kept.reserve(F);
-  for (int64_t f = 0; f < F; ++f) {
-    const int64_t* tri = faces + f * 3;
-    if (ok[tri[0]] && ok[tri[1]] && ok[tri[2]] &&
-        ok[V + einv[f * 3]] && ok[V + einv[f * 3 + 1]] && ok[V + einv[f * 3 + 2]])
-      kept.push_back(f);
-  }
-
-  // --- 2. remap vertices (drop unreferenced; new ids ascend with old) ---
-  std::vector<int64_t> remap((size_t)V, -1);
-  for (int64_t f : kept)
-    for (int k = 0; k < 3; ++k) remap[faces[f * 3 + k]] = 0;
-  int64_t V2 = 0;
-  for (int64_t v = 0; v < V; ++v)
-    if (remap[v] == 0) remap[v] = V2++;
-    else remap[v] = -1;
-  std::vector<float> v2((size_t)V2 * 3);
-  for (int64_t v = 0; v < V; ++v)
-    if (remap[v] >= 0) std::memcpy(&v2[remap[v] * 3], verts + v * 3, 12);
-  std::vector<int64_t> f2;
-  f2.reserve(kept.size() * 3);
-  for (int64_t f : kept)
-    for (int k = 0; k < 3; ++k) f2.push_back(remap[faces[f * 3 + k]]);
-  int64_t F2 = (int64_t)kept.size();
+  std::vector<int64_t> kept, remap, f2;
+  std::vector<float> v2;
+  int64_t V2, F2;
+  keep_and_remap(verts, V, faces, F, ok, einv, kept, remap, v2, f2, V2, F2);
 
   // --- 3. edge structure of the filtered mesh ---
   std::vector<int64_t> einv2((size_t)F2 * 3);
@@ -358,32 +368,10 @@ void surfd_finalize_mesh_pre(
     const int64_t* ea_in, const int64_t* eb_in, int64_t E,
     int32_t fill_holes, int32_t smooth_iters, float lam, int32_t merge_decimals,
     float** out_verts, int64_t* out_nv, int64_t** out_faces, int64_t* out_nf) {
-  // --- 1. keep mask: all 3 vertices and all 3 edge midpoints below ---
-  std::vector<int64_t> kept;
-  kept.reserve(F);
-  for (int64_t f = 0; f < F; ++f) {
-    const int64_t* tri = faces + f * 3;
-    if (ok[tri[0]] && ok[tri[1]] && ok[tri[2]] &&
-        ok[V + einv[f * 3]] && ok[V + einv[f * 3 + 1]] && ok[V + einv[f * 3 + 2]])
-      kept.push_back(f);
-  }
-
-  // --- 2. remap vertices (drop unreferenced; new ids ascend with old) ---
-  std::vector<int64_t> remap((size_t)V, -1);
-  for (int64_t f : kept)
-    for (int k = 0; k < 3; ++k) remap[faces[f * 3 + k]] = 0;
-  int64_t V2 = 0;
-  for (int64_t v = 0; v < V; ++v)
-    if (remap[v] == 0) remap[v] = V2++;
-    else remap[v] = -1;
-  std::vector<float> v2((size_t)V2 * 3);
-  for (int64_t v = 0; v < V; ++v)
-    if (remap[v] >= 0) std::memcpy(&v2[remap[v] * 3], verts + v * 3, 12);
-  std::vector<int64_t> f2;
-  f2.reserve(kept.size() * 3);
-  for (int64_t f : kept)
-    for (int k = 0; k < 3; ++k) f2.push_back(remap[faces[f * 3 + k]]);
-  int64_t F2 = (int64_t)kept.size();
+  std::vector<int64_t> kept, remap, f2;
+  std::vector<float> v2;
+  int64_t V2, F2;
+  keep_and_remap(verts, V, faces, F, ok, einv, kept, remap, v2, f2, V2, F2);
 
   // --- 3'. filtered-mesh edge structure by bincount (linear, no sort) ---
   std::vector<int32_t> counts((size_t)E, 0);

@@ -335,12 +335,16 @@ def auto_block_size(
 # Reusable dense-grid buffers keyed by (N, max_dist): first-touch page
 # allocation of a fresh 512³ f32 grid is pathologically slow on this VM
 # (~10 MB/s kernel zeroing under memory pressure), so repeated fills reuse
-# a pooled buffer and reset only the blocks the previous fill wrote. The
-# pool (instead of a single slot) keeps the pipelined batch generator's
-# concurrent fills each on their own settled buffer; list append/pop are
-# GIL-atomic.
+# a pooled buffer and reset only the blocks the previous fill wrote.
+# Lifecycle: fill() HOLDS the buffer on the GridFiller; it re-enters the
+# pool only at release_buffer(), which the extraction pipeline calls once
+# marching no longer reads the grid — never before (a pooled-at-fill-end
+# buffer could be popped and reset by a concurrent pipelined fill while the
+# first extraction is still scanning it). The pool (rather than one slot)
+# keeps concurrent fills each on their own settled buffer; list append/pop
+# are GIL-atomic. Capped at the supported pipeline depth.
 _GRID_BUF_CACHE: dict = {}
-_GRID_BUF_POOL_MAX = 4
+_GRID_BUF_POOL_MAX = 2
 
 
 class GridFiller:
@@ -358,6 +362,7 @@ class GridFiller:
         reuse_buffer: bool = False,
     ):
         self.reuse_buffer = reuse_buffer
+        self._held_buffer = None
         self.N = resolution
         self.lo, self.hi = coords_range
         self.max_batch = max_batch
@@ -457,9 +462,9 @@ class GridFiller:
                     (az[:, None] + r)[:, None, None, :],
                 ] = vals
         if self.reuse_buffer:
-            pool = _GRID_BUF_CACHE.setdefault((N, round(float(self.max_dist), 9)), [])
-            if len(pool) < _GRID_BUF_POOL_MAX:
-                pool.append((grid, ab32, B))
+            # held until release_buffer(): the caller is about to read this
+            # grid for the whole extraction
+            self._held_buffer = (grid, ab32, B)
 
         if return_stats:
             stats = {
@@ -474,6 +479,21 @@ class GridFiller:
             }
             return grid, stats
         return grid
+
+    def release_buffer(self) -> None:
+        """Return the buffer held by the last fill() to the reuse pool.
+
+        Call ONLY once nothing reads that grid anymore (the extraction
+        pipeline calls it right after marching). No-op without reuse_buffer.
+        """
+        held = self._held_buffer
+        if held is None:
+            return
+        self._held_buffer = None
+        key = (self.N, round(float(self.max_dist), 9))
+        pool = _GRID_BUF_CACHE.setdefault(key, [])
+        if len(pool) < _GRID_BUF_POOL_MAX:
+            pool.append(held)
 
     def _dense_buffer(self, N: int) -> np.ndarray:
         """max_dist-filled (N,N,N) f32 buffer, reused across fills when

@@ -12,7 +12,9 @@ Mechanism: each extraction runs unchanged in its own worker thread — JAX
 dispatch/transfers release the GIL, and so do the ctypes calls into the
 native passes. Shared caches are benign under the GIL: the compiled-
 executable maps re-trace at worst, and the dense-grid buffer pool hands
-concurrent fills distinct buffers, settling at one per pipeline slot.
+concurrent fills distinct buffers — a buffer re-enters the pool only via
+GridFiller.release_buffer(), after marching stops reading it — settling at
+one buffer per pipeline slot.
 
 **Default is sequential (depth=1).** The pipeline pays off only when the
 host↔device link has bandwidth to spare for the overlap; measured on this

@@ -362,11 +362,17 @@ def get_mesh_from_udf(
         and native.available()
     )
     edges: dict = {}
-    mesh = marching_tetrahedra_udf(
-        grid, grad_at, cfg.coords_range, times=times, active_blocks=active_blocks,
-        edges_out=edges if want_edges else None,
-        edges_quant=(lo_, 1.0 / qstep) if want_edges else None,
-    )
+    try:
+        mesh = marching_tetrahedra_udf(
+            grid, grad_at, cfg.coords_range, times=times, active_blocks=active_blocks,
+            edges_out=edges if want_edges else None,
+            edges_quant=(lo_, 1.0 / qstep) if want_edges else None,
+        )
+    finally:
+        # marching was the last reader of the dense grid — only now may the
+        # buffer re-enter the reuse pool (a concurrent pipelined fill resets
+        # pooled buffers in place)
+        gf.release_buffer()
     times["marching"] = time.perf_counter() - t0
     stats["raw_faces"] = len(mesh.faces)
 
@@ -500,7 +506,10 @@ def get_watertight_mesh_from_udf(
         max_dist=cfg.max_dist, mesh=cfg.mesh, reuse_buffer=True,
     )
     grid = gf.fill(udf_fn)
-    mesh = marching_tetrahedra(grid, iso=iso, coords_range=cfg.coords_range)
+    try:
+        mesh = marching_tetrahedra(grid, iso=iso, coords_range=cfg.coords_range)
+    finally:
+        gf.release_buffer()
     mesh = keep_largest_component(mesh, by_bbox=True)
     if len(mesh.vertices):
         v = mesh.vertices

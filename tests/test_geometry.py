@@ -371,16 +371,28 @@ def test_native_scatter_and_reset_blocks():
 
 def test_grid_filler_reuse_buffer_matches_fresh():
     """A reused buffer (reset-active-blocks) fill == a fresh-buffer fill."""
-    gf = GridFiller(resolution=64, max_batch=2**14, reuse_buffer=True)
+    # explicit block=8 so the blocked path (and thus the buffer machinery)
+    # engages at this small resolution (auto-size degenerates to dense)
+    mk = lambda reuse: GridFiller(
+        resolution=128, block=8, max_batch=2**14, reuse_buffer=reuse
+    )
+    gf = mk(True)
     fn_a = jax.jit(_sphere_udf_fn)
     fn_b = jax.jit(lambda p: jnp.minimum(
         jnp.abs(jnp.linalg.norm(p - 0.2, axis=-1) - 0.4), 0.1))
     first = gf.fill(fn_a).copy()
+    assert gf._held_buffer is not None
+    gf.release_buffer()  # done reading → buffer may re-enter the pool
     second = gf.fill(fn_b)  # reuses + resets the buffer from the first fill
-    fresh = GridFiller(resolution=64, max_batch=2**14).fill(fn_b)
+    fresh = mk(False).fill(fn_b)
     np.testing.assert_array_equal(second, fresh)
+    gf.release_buffer()
     # and filling fn_a again reproduces the original
     np.testing.assert_array_equal(gf.fill(fn_a), first)
+    # unreleased: the next fill must NOT reclaim the held buffer
+    held = gf._held_buffer[0]
+    g2 = mk(True).fill(fn_b)
+    assert g2 is not held
 
 
 def test_native_face_filter_prep_q16_matches_f32_prep():
