@@ -35,6 +35,15 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--decoder_layers", type=int, default=5)
     ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "plms"])
     ap.add_argument("--timestep_respacing", default="")
+    ap.add_argument(
+        "--noise_schedule", default="cosine", choices=["linear", "cosine"]
+    )
+    ap.add_argument("--diffusion_steps", type=int, default=1000)
+    # reference --sigma_small default True (parser_util.py): FIXED_SMALL
+    # posterior variance; --no-sigma_small selects FIXED_LARGE (betas)
+    ap.add_argument(
+        "--sigma_small", action=argparse.BooleanOptionalAction, default=True
+    )
     ap.add_argument("--guidance_param", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--output_dir", default="outputs")
@@ -58,10 +67,12 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
 def build_schedule(args):
     from ..diffusion import named_beta_schedule, named_schedule, space_timesteps, spaced_schedule
 
+    name = getattr(args, "noise_schedule", "cosine")
+    steps = getattr(args, "diffusion_steps", 1000)
     if args.timestep_respacing:
-        base = named_beta_schedule("cosine", 1000)
-        return spaced_schedule(base, space_timesteps(1000, args.timestep_respacing))
-    return named_schedule("cosine", 1000)
+        base = named_beta_schedule(name, steps)
+        return spaced_schedule(base, space_timesteps(steps, args.timestep_respacing))
+    return named_schedule(name, steps)
 
 
 def load_denoiser(args, cond_mode: str):
@@ -143,10 +154,16 @@ def run_generation(args, cond_mode: str, context=None, action=None, tag: str = "
     model_fn = make_cfg_model_fn(
         mdm, variables, args.guidance_param, context=context, action=action
     )
+    from ..diffusion import VarType
+
+    var_type = (
+        VarType.FIXED_SMALL if getattr(args, "sigma_small", True) else VarType.FIXED_LARGE
+    )
     rng = jax.random.PRNGKey(args.seed)
     t0 = time.perf_counter()
     latents = sample_latents(
-        sched, model_fn, args.num_samples, args.latent_size, rng, sampler=args.sampler
+        sched, model_fn, args.num_samples, args.latent_size, rng,
+        sampler=args.sampler, var_type=var_type,
     )
     latents.block_until_ready()
     print(f"sampled {args.num_samples} latents in {time.perf_counter()-t0:.2f}s", file=sys.stderr)

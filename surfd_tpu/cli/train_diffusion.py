@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--model_channels", type=int, default=224)
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--weight_decay", type=float, default=0.0)
+    ap.add_argument(
+        "--noise_schedule", default="cosine", choices=["linear", "cosine"]
+    )
+    ap.add_argument("--diffusion_steps", type=int, default=1000)
     ap.add_argument("--num_steps", type=int, default=600_000)
     ap.add_argument("--log_interval", type=int, default=100)
     ap.add_argument("--save_interval", type=int, default=50_000)
@@ -97,7 +102,7 @@ def main():
         kw["action"] = jnp.zeros((args.batch_size,), jnp.int32)
     params = mdm.init(jax.random.PRNGKey(1), x0, t0, **kw)["params"]
 
-    sched = named_schedule("cosine", 1000)
+    sched = named_schedule(args.noise_schedule, args.diffusion_steps)
     cfg = DiffusionTrainConfig(
         latent_size=args.latent_size,
         batch_size=args.batch_size,
@@ -109,7 +114,7 @@ def main():
         schedule_sampler=args.schedule_sampler,
         cond_mode=args.cond_mode,
     )
-    tx = make_optimizer(cfg.lr)
+    tx = make_optimizer(cfg.lr, weight_decay=args.weight_decay)
     state = create_train_state(params, tx)
 
     ck = Checkpointer(os.path.join(args.save_dir, "ckpt"))

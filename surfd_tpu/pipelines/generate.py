@@ -527,18 +527,25 @@ def sample_latents(
     rng,
     sampler: str = "ddpm",
     clip_denoised: bool = True,
+    var_type=None,
 ) -> jnp.ndarray:
     """Diffusion-sample (B, L) latent codes (reference p_sample_loop call,
-    sample/generate_uncond.py:72-85; shape (B, 1, L) there, (B, L, 1) here)."""
+    sample/generate_uncond.py:72-85; shape (B, 1, L) there, (B, L, 1) here).
+
+    var_type: diffusion.VarType for the DDPM posterior variance (default
+    FIXED_SMALL — the reference's sigma_small=True)."""
     from ..diffusion import ddim_sample_loop, plms_sample_loop
 
+    kw = {"clip_denoised": clip_denoised}
+    if var_type is not None:
+        kw["var_type"] = var_type
     shape = (num_samples, latent_len, 1)
     if sampler == "ddpm":
-        out = p_sample_loop(sched, model_fn, shape, rng, clip_denoised=clip_denoised)
+        out = p_sample_loop(sched, model_fn, shape, rng, **kw)
     elif sampler == "ddim":
-        out = ddim_sample_loop(sched, model_fn, shape, rng, clip_denoised=clip_denoised)
+        out = ddim_sample_loop(sched, model_fn, shape, rng, **kw)
     elif sampler == "plms":
-        out = plms_sample_loop(sched, model_fn, shape, rng, clip_denoised=clip_denoised)
+        out = plms_sample_loop(sched, model_fn, shape, rng, **kw)
     else:
         raise ValueError(f"unknown sampler: {sampler}")
     return out[..., 0]

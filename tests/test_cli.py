@@ -23,6 +23,29 @@ def _run(args, timeout=1200):
     )
 
 
+def test_build_schedule_honors_flags():
+    """--noise_schedule/--diffusion_steps flow into the schedule (reference
+    parser_util.py diffusion group; ours previously hardcoded cosine/1000)."""
+    from surfd_tpu.cli._common import base_parser, build_schedule
+    from surfd_tpu.diffusion import named_beta_schedule
+
+    args = base_parser("t").parse_args(
+        ["--noise_schedule", "linear", "--diffusion_steps", "100"]
+    )
+    sched = build_schedule(args)
+    assert sched.num_timesteps == 100
+    np.testing.assert_allclose(
+        np.asarray(sched.betas), named_beta_schedule("linear", 100), rtol=1e-6
+    )
+    # respacing sections come from the configured total, not 1000
+    args = base_parser("t").parse_args(
+        ["--noise_schedule", "linear", "--diffusion_steps", "100",
+         "--timestep_respacing", "ddim25"]
+    )
+    assert build_schedule(args).num_timesteps == 25
+    assert not args.sigma_small is False  # default True (reference parity)
+
+
 @pytest.mark.slow
 def test_generate_uncond_smoke(tmp_path):
     r = _run([
