@@ -56,6 +56,16 @@ def test_knn_vs_bruteforce():
     np.testing.assert_allclose(np.sort(d_ours, -1), np.sort(d_ref, -1), atol=1e-5)
 
 
+def test_knn_blocked_matches_single_topk():
+    """The two-phase blocked top-k (the production path at N=10k) must be
+    index-identical to the single lax.top_k reduction."""
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.normal(size=(2, 1000, 3)).astype(np.float32))
+    blocked = knn_indices(pts, k=20, block=100)  # 1000 % 100 == 0 → blocked
+    single = knn_indices(pts, k=20, block=999)  # no divisor → single top_k
+    np.testing.assert_array_equal(np.asarray(blocked), np.asarray(single))
+
+
 def test_knn_chunked_matches_unchunked():
     rng = np.random.default_rng(1)
     pts = jnp.asarray(rng.normal(size=(1, 256, 3)).astype(np.float32))
