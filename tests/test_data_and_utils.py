@@ -147,6 +147,31 @@ def test_mask_and_crop():
     assert crop.shape[0] == crop.shape[1]
 
 
+def test_clip_preprocess_preserves_aspect_ratio():
+    """Shorter-side resize + center crop (CLIP _transform): a non-square
+    image must NOT be squashed — a centered vertical stripe stays the same
+    width fraction of the crop regardless of the input's aspect ratio."""
+    from surfd_tpu.data.conditioning import clip_preprocess
+
+    def stripe_width(h, w):
+        img = np.zeros((h, w, 3), np.uint8)
+        x0 = w // 2 - w // 8
+        img[:, x0 : x0 + w // 4] = 255  # centered stripe, 1/4 of the width
+        out = clip_preprocess(img, size=224)
+        # un-normalize to a binary mask of the stripe
+        on = (out[:, :, 0] * 0.26862954 + 0.48145466) > 0.5
+        return on[112].sum()
+
+    square = stripe_width(256, 256)
+    wide = stripe_width(256, 512)  # stripe is 128 px of 512 → 56 px post-crop
+    # aspect-squash would leave the wide stripe at 1/4 of 224 = 56... both
+    # are 1/4-width stripes CENTERED, so after shorter-side resize + center
+    # crop the wide image's stripe occupies 128·(224/256) = 112 px while a
+    # squash to 224 would give 56 px.
+    assert abs(square - 56) <= 3
+    assert abs(wide - 112) <= 3, f"aspect squash detected: {wide} px"
+
+
 def test_config_roundtrip_and_overrides(tmp_path):
     cfg = SurfDConfig()
     apply_overrides(cfg, ["model.latent_size=64", "diffusion.noise_schedule=linear",
