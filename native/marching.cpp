@@ -362,21 +362,17 @@ void surfd_reset_blocks(
   }
 }
 
-// Optional face-filter outputs of the emit pass (see surfd_mt_emit_edges).
-struct MtEdgeOut {
-  float qlo, qinv;
-  uint16_t* qpts;   // (V+E, 3) u16: quantized vertices then edge midpoints
-  int64_t* einv;    // (F, 3) unique-edge id per face edge
-  int64_t* ea;      // (E,) edge endpoint vertex ids, a < b, ascending (a,b)
-  int64_t* eb;
-  int64_t E;
-};
-
-static int64_t mt_emit_impl(
+// Pass 2: emit the deduped mesh.
+//   udf        (R³,) f32
+//   cube_ids   (M,) flat ids from pass 1
+//   g8         (M, 8, 3) int8 unit gradients at cube corners
+// Outputs malloc'd arrays (caller frees): verts (V,3) f32, faces (F,3) i64.
+// Faces are oriented so normals align with the corner gradients.
+int64_t surfd_mt_emit(
     const float* udf, int32_t R, float lo, float spacing,
     const int64_t* cube_ids, int64_t M, const int8_t* g8,
     float** out_verts, int64_t* out_nverts,
-    int64_t** out_faces, int64_t* out_nfaces, MtEdgeOut* eo) {
+    int64_t** out_faces, int64_t* out_nfaces) {
   PhaseTimer PT;
   const int64_t NV = (int64_t)R * R * R;
   const int Rm1 = R - 1;
@@ -487,20 +483,13 @@ static int64_t mt_emit_impl(
   int64_t T = 0;
   for (auto& v : tbuf) T += (int64_t)v.size();
   if (T == 0) {
-    // stub sizes match the (1, 3) / (1,) shapes the ctypes wrappers declare
-    // for empty results (the rows are sliced away, but the view must not
+    // stub sizes match the (1, 3) shapes the ctypes wrappers declare for
+    // empty results (the rows are sliced away, but the view must not
     // extend past the allocation)
     *out_verts = (float*)std::malloc(3 * sizeof(float));
     *out_nverts = 0;
     *out_faces = (int64_t*)std::malloc(3 * sizeof(int64_t));
     *out_nfaces = 0;
-    if (eo) {
-      eo->qpts = (uint16_t*)std::malloc(3 * sizeof(uint16_t));
-      eo->einv = (int64_t*)std::malloc(3 * sizeof(int64_t));
-      eo->ea = (int64_t*)std::malloc(sizeof(int64_t));
-      eo->eb = (int64_t*)std::malloc(sizeof(int64_t));
-      eo->E = 0;
-    }
     return 0;
   }
 
@@ -568,110 +557,10 @@ static int64_t mt_emit_impl(
 
   PT.mark("verts_faces");
 
-  if (eo) {
-    // Mesh-edge structure of the FINAL faces while everything is hot: the
-    // false-face filter queries [vertices; unique-edge midpoints] and the
-    // fused finalize consumes einv/ea/eb — computing them here replaces a
-    // separate full re-walk of the mesh (surfd_face_filter_prep).
-    const uint64_t NVV = (uint64_t)V + 1;
-    std::vector<surfd::KV> ekv((size_t)F * 3);
-    for (int64_t f = 0; f < F; ++f) {
-      const int64_t* tri = faces + f * 3;
-      for (int k = 0; k < 3; ++k) {
-        int64_t a = tri[k], b = tri[(k + 1) % 3];
-        if (a > b) std::swap(a, b);
-        ekv[f * 3 + k] = {(uint64_t)a * NVV + (uint64_t)b, f * 3 + k};
-      }
-    }
-    surfd::radix_sort_kv(ekv, NVV * NVV);
-    PT.mark("edge_sort");
-    int64_t* einv = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(F * 3, 3));
-    std::vector<int64_t> ea_v, eb_v;
-    ea_v.reserve(F * 2);
-    eb_v.reserve(F * 2);
-    int64_t eid = -1;
-    uint64_t prev = UINT64_MAX;
-    for (auto& p : ekv) {
-      if (p.key != prev || eid < 0) {
-        prev = p.key;
-        ++eid;
-        ea_v.push_back((int64_t)(p.key / NVV));
-        eb_v.push_back((int64_t)(p.key % NVV));
-      }
-      einv[p.val] = eid;
-    }
-    const int64_t E = eid + 1;
-    uint16_t* qpts =
-        (uint16_t*)std::malloc(sizeof(uint16_t) * 3 * std::max<int64_t>(V + E, 1));
-    const float qlo = eo->qlo, qinv = eo->qinv;
-    auto quant = [&](float p) {
-      float q = std::nearbyintf((p - qlo) * qinv);
-      return (uint16_t)(q < 0.f ? 0.f : (q > 65535.f ? 65535.f : q));
-    };
-    for (int64_t v = 0; v < V; ++v)
-      for (int k = 0; k < 3; ++k) qpts[v * 3 + k] = quant(verts[v * 3 + k]);
-    for (int64_t e = 0; e < E; ++e) {
-      const float* pa = verts + ea_v[e] * 3;
-      const float* pb = verts + eb_v[e] * 3;
-      for (int k = 0; k < 3; ++k)
-        qpts[(V + e) * 3 + k] = quant(0.5f * (pa[k] + pb[k]));
-    }
-    int64_t* ea = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(E, 1));
-    int64_t* eb = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(E, 1));
-    std::memcpy(ea, ea_v.data(), E * sizeof(int64_t));
-    std::memcpy(eb, eb_v.data(), E * sizeof(int64_t));
-    eo->qpts = qpts;
-    eo->einv = einv;
-    eo->ea = ea;
-    eo->eb = eb;
-    eo->E = E;
-    PT.mark("edge_emit");
-  }
-
   *out_verts = verts;
   *out_nverts = V;
   *out_faces = faces;
   *out_nfaces = F;
-  return F;
-}
-
-// Pass 2: emit the deduped mesh.
-//   udf        (R³,) f32
-//   cube_ids   (M,) flat ids from pass 1
-//   g8         (M, 8, 3) int8 unit gradients at cube corners
-// Outputs malloc'd arrays (caller frees): verts (V,3) f32, faces (F,3) i64.
-// Faces are oriented so normals align with the corner gradients.
-int64_t surfd_mt_emit(
-    const float* udf, int32_t R, float lo, float spacing,
-    const int64_t* cube_ids, int64_t M, const int8_t* g8,
-    float** out_verts, int64_t* out_nverts,
-    int64_t** out_faces, int64_t* out_nfaces) {
-  return mt_emit_impl(udf, R, lo, spacing, cube_ids, M, g8,
-                      out_verts, out_nverts, out_faces, out_nfaces, nullptr);
-}
-
-// mt_emit + the face-filter's edge structure in one pass: quantized query
-// points [vertices; unique-edge midpoints] (u16, q = rint((p-qlo)*qinv)),
-// per-face unique-edge ids, and the edge endpoint lists (ascending (a,b)
-// order — the order surfd_finalize_mesh_pre relies on).
-int64_t surfd_mt_emit_edges(
-    const float* udf, int32_t R, float lo, float spacing,
-    const int64_t* cube_ids, int64_t M, const int8_t* g8,
-    float qlo, float qinv,
-    float** out_verts, int64_t* out_nverts,
-    int64_t** out_faces, int64_t* out_nfaces,
-    uint16_t** out_qpts, int64_t** out_einv,
-    int64_t** out_ea, int64_t** out_eb, int64_t* out_E) {
-  MtEdgeOut eo;
-  eo.qlo = qlo;
-  eo.qinv = qinv;
-  int64_t F = mt_emit_impl(udf, R, lo, spacing, cube_ids, M, g8,
-                           out_verts, out_nverts, out_faces, out_nfaces, &eo);
-  *out_qpts = eo.qpts;
-  *out_einv = eo.einv;
-  *out_ea = eo.ea;
-  *out_eb = eo.eb;
-  *out_E = eo.E;
   return F;
 }
 

@@ -304,12 +304,16 @@ int64_t surfd_face_filter_prep(
 // u16-quantized to the 2^16 coords grid (q = rint((p - qlo) * qinv); numpy
 // np.rint parity — both round half-to-even). The caller uploads the vertex
 // queries to the device BEFORE this runs, so the edge radix-sort overlaps the
-// tunnel's h2d + the decoder eval of the vertex mask.
-// *out_qpts (E, 3) u16 (malloc'd), *out_einv (F, 3) i64. Returns E.
+// tunnel's h2d + the decoder eval of the vertex mask. The edge endpoint
+// lists come back too (ascending (a,b) — the order surfd_finalize_mesh_pre
+// relies on), so the cleanup needs no second sort over the face soup.
+// *out_qpts (E,3) u16, *out_einv (F,3) i64, *out_ea/*out_eb (E,) i64
+// (all malloc'd). Returns E.
 int64_t surfd_face_filter_prep_q16(
     const float* verts, int64_t V, const int64_t* faces, int64_t F,
     float qlo, float qinv,
-    uint16_t** out_qpts, int64_t** out_einv) {
+    uint16_t** out_qpts, int64_t** out_einv,
+    int64_t** out_ea, int64_t** out_eb) {
   int64_t* einv = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(F * 3, 3));
   std::vector<int64_t> ea, eb, owner;
   std::vector<int32_t> counts;
@@ -326,8 +330,14 @@ int64_t surfd_face_filter_prep_q16(
       qpts[e * 3 + k] = (uint16_t)(q < 0.f ? 0.f : (q > 65535.f ? 65535.f : q));
     }
   }
+  int64_t* ea_out = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(E, 1));
+  int64_t* eb_out = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(E, 1));
+  std::memcpy(ea_out, ea.data(), E * sizeof(int64_t));
+  std::memcpy(eb_out, eb.data(), E * sizeof(int64_t));
   *out_qpts = qpts;
   *out_einv = einv;
+  *out_ea = ea_out;
+  *out_eb = eb_out;
   return E;
 }
 

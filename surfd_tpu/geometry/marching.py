@@ -294,8 +294,6 @@ def marching_tetrahedra_udf(
     use_native: bool = True,
     times: dict | None = None,
     active_blocks: tuple | None = None,
-    edges_out: dict | None = None,
-    edges_quant: tuple | None = None,
 ) -> Mesh:
     """Extract an (open) surface from a UDF + gradient grid.
 
@@ -316,12 +314,6 @@ def marching_tetrahedra_udf(
     every near-band grid node is inside a listed block (the filler's activity
     test guarantees it), so the native pass 1 only scans those blocks dilated
     by one in the negative direction instead of the full R³ grid.
-
-    edges_out + edges_quant=(qlo, qinv): native path only — the emit pass
-    additionally returns the mesh's unique-edge structure for the false-face
-    filter (keys 'qpts' (V+E,3) u16 query points, 'einv' (F,3), 'ea'/'eb'
-    (E,)), computed while the face soup is hot instead of by a separate
-    prep re-walk.
     """
     R = udf.shape[0]
     assert udf.shape == (R, R, R)
@@ -353,7 +345,6 @@ def marching_tetrahedra_udf(
                 u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult, times,
                 active_blocks=active_blocks,
                 grad_async=getattr(gradients, "async_call", None),
-                edges_out=edges_out, edges_quant=edges_quant,
             )
 
     # --- candidate cubes: gather-driven, ONE full-grid pass total ---
@@ -422,7 +413,7 @@ def marching_tetrahedra_udf(
 
 def _marching_udf_native(
     u, flat_u, grad_lookup, R, lo, voxel, near_mult, avg_mult, times=None,
-    active_blocks=None, grad_async=None, edges_out=None, edges_quant=None,
+    active_blocks=None, grad_async=None,
 ) -> Mesh:
     """Native (C++) marching path: same algorithm, serial-host engineered.
 
@@ -496,14 +487,7 @@ def _marching_udf_native(
 
     # pass 2 orients triangles in-loop (per-cube s·g outward direction), so
     # no separate orientation pass is needed
-    if edges_out is not None and edges_quant is not None:
-        qlo, qinv = edges_quant
-        verts, faces, qpts, einv, ea, eb = native.mt_emit_edges(
-            u, lo, voxel, cube_ids, g8, qlo, qinv
-        )
-        edges_out.update(qpts=qpts, einv=einv, ea=ea, eb=eb)
-    else:
-        verts, faces = native.mt_emit(u, lo, voxel, cube_ids, g8)
+    verts, faces = native.mt_emit(u, lo, voxel, cube_ids, g8)
     mark("mt_pass2", t0)
     return Mesh(verts, faces)
 

@@ -72,6 +72,7 @@ def _load() -> ctypes.CDLL:
         fp, ctypes.c_int64, i64p, ctypes.c_int64,
         ctypes.c_float, ctypes.c_float,
         ctypes.POINTER(u16p), ctypes.POINTER(i64p),
+        ctypes.POINTER(i64p), ctypes.POINTER(i64p),
     ]
     lib.surfd_finalize_mesh.restype = None
     lib.surfd_finalize_mesh.argtypes = [
@@ -85,15 +86,6 @@ def _load() -> ctypes.CDLL:
         fp, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
         i64p, ctypes.c_int64, i8p,
         ctypes.POINTER(fp), i64p, ctypes.POINTER(i64p), i64p,
-    ]
-    lib.surfd_mt_emit_edges.restype = ctypes.c_int64
-    lib.surfd_mt_emit_edges.argtypes = [
-        fp, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
-        i64p, ctypes.c_int64, i8p,
-        ctypes.c_float, ctypes.c_float,
-        ctypes.POINTER(fp), i64p, ctypes.POINTER(i64p), i64p,
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)), ctypes.POINTER(i64p),
-        ctypes.POINTER(i64p), ctypes.POINTER(i64p), i64p,
     ]
     lib.surfd_finalize_mesh_pre.restype = None
     lib.surfd_finalize_mesh_pre.argtypes = [
@@ -262,49 +254,6 @@ def mt_emit(udf: np.ndarray, lo: float, spacing: float, cube_ids: np.ndarray, g8
     )
 
 
-def mt_emit_edges(
-    udf: np.ndarray, lo: float, spacing: float, cube_ids: np.ndarray,
-    g8: np.ndarray, qlo: float, qinv: float,
-):
-    """mt_emit + the face filter's edge structure in one C++ pass.
-
-    Returns (verts (V,3) f32, faces (F,3) i64, qpts (V+E,3) u16,
-    einv (F,3) i64, ea (E,) i64, eb (E,) i64) where qpts is the filter's
-    query set [vertices; unique-edge midpoints] pre-quantized to the 2^16
-    coords grid (q = rint((p - qlo) * qinv)). Replaces the separate
-    face_filter_prep re-walk of the mesh.
-    """
-    lib = _load()
-    u = np.ascontiguousarray(udf, dtype=np.float32)
-    R = u.shape[0]
-    ids = np.ascontiguousarray(cube_ids, dtype=np.int64)
-    g = np.ascontiguousarray(g8, dtype=np.int8)
-    fp = ctypes.POINTER(ctypes.c_float)
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    overts, ofaces = fp(), i64p()
-    nv, nf, nE = ctypes.c_int64(), ctypes.c_int64(), ctypes.c_int64()
-    oq = ctypes.POINTER(ctypes.c_uint16)()
-    oeinv, oea, oeb = i64p(), i64p(), i64p()
-    lib.surfd_mt_emit_edges(
-        u.ctypes.data_as(fp), R, ctypes.c_float(lo), ctypes.c_float(spacing),
-        ids.ctypes.data_as(i64p), len(ids),
-        g.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-        ctypes.c_float(qlo), ctypes.c_float(qinv),
-        ctypes.byref(overts), ctypes.byref(nv), ctypes.byref(ofaces), ctypes.byref(nf),
-        ctypes.byref(oq), ctypes.byref(oeinv),
-        ctypes.byref(oea), ctypes.byref(oeb), ctypes.byref(nE),
-    )
-    V, F, E = int(nv.value), int(nf.value), int(nE.value)
-    return (
-        _own(overts, (max(V, 1), 3), V),
-        _own(ofaces, (max(F, 1), 3), F),
-        _own(oq, (max(V + E, 1), 3), V + E),
-        _own(oeinv, (max(F, 1), 3), F),
-        _own(oea, (max(E, 1),), E),
-        _own(oeb, (max(E, 1),), E),
-    )
-
-
 def finalize_mesh_pre(
     vertices: np.ndarray,
     faces: np.ndarray,
@@ -374,11 +323,13 @@ def face_filter_prep(vertices: np.ndarray, faces: np.ndarray):
 
 
 def face_filter_prep_q16(vertices: np.ndarray, faces: np.ndarray, qlo: float, qinv: float):
-    """Unique-edge midpoints (u16-quantized) + per-face edge ids.
+    """Unique-edge midpoints (u16-quantized), per-face edge ids, and the edge
+    endpoint lists (ascending (a,b) — consumed by finalize_mesh_pre).
 
     Companion of face_filter_prep that emits ONLY the midpoints, pre-quantized
     to the 2^16 coords grid — the caller dispatches the vertex queries to the
     device first, so this C++ pass overlaps the tunnel upload + decoder eval.
+    Returns (qmids (E,3) u16, einv (F,3) i64, ea (E,) i64, eb (E,) i64).
     """
     lib = _load()
     v = np.ascontiguousarray(vertices, dtype=np.float32)
@@ -386,16 +337,18 @@ def face_filter_prep_q16(vertices: np.ndarray, faces: np.ndarray, qlo: float, qi
     fp = ctypes.POINTER(ctypes.c_float)
     i64p = ctypes.POINTER(ctypes.c_int64)
     oq = ctypes.POINTER(ctypes.c_uint16)()
-    oeinv = i64p()
+    oeinv, oea, oeb = i64p(), i64p(), i64p()
     E = lib.surfd_face_filter_prep_q16(
         v.ctypes.data_as(fp), len(v), f.ctypes.data_as(i64p), len(f),
         ctypes.c_float(qlo), ctypes.c_float(qinv),
-        ctypes.byref(oq), ctypes.byref(oeinv),
+        ctypes.byref(oq), ctypes.byref(oeinv), ctypes.byref(oea), ctypes.byref(oeb),
     )
     E = int(E)
     return (
         _own(oq, (max(E, 1), 3), E),
         _own(oeinv, (max(len(f), 1), 3), len(f)),
+        _own(oea, (max(E, 1),), E),
+        _own(oeb, (max(E, 1),), E),
     )
 
 

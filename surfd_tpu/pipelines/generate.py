@@ -351,18 +351,9 @@ def get_mesh_from_udf(
 
     q16_bound = getattr(udf_fn, "below_packed_q16_bound", None)
     qstep = (hi_ - lo_) / 65535.0
-    want_edges = (
-        cfg.filter_faces
-        and cfg.quantized_filter_points
-        and q16_bound is not None
-        and native.available()
-    )
-    edges: dict = {}
     try:
         mesh = marching_tetrahedra_udf(
-            grid, grad_at, cfg.coords_range, times=times, active_blocks=active_blocks,
-            edges_out=edges if want_edges else None,
-            edges_quant=(lo_, 1.0 / qstep) if want_edges else None,
+            grid, grad_at, cfg.coords_range, times=times, active_blocks=active_blocks
         )
     finally:
         # marching was the last reader of the dense grid — only now may the
@@ -382,20 +373,15 @@ def get_mesh_from_udf(
         threshold = cfg.face_filter_mult / cfg.resolution
         packed_bound = getattr(udf_fn, "below_packed_bound", None)
         below_bound = getattr(udf_fn, "below_bound", None)
-        pre = "qpts" in edges
+        pre = q16_bound is not None and cfg.quantized_filter_points
         if pre:
-            # query points came pre-quantized out of the emit pass; uint16
-            # coords (half the upload) + packed-bit mask download (the
-            # quantization half-step 1.5e-5 ≈ 0.8% of the 1/512 threshold)
-            ok = eval_in_chunks(
-                q16_bound(threshold, lo_, qstep), edges["qpts"], cfg.max_batch,
-                unpack_bits=True, mesh=cfg.mesh,
-            )
-            einv = edges["einv"]
-        elif q16_bound is not None and cfg.quantized_filter_points:
-            # same filter when marching didn't run the native emit (e.g. a
-            # dense-gradient input): prep the points, overlapping the vertex
-            # eval with the C++ edge sort
+            # uint16 coords (half the upload) + packed-bit mask downloads
+            # (quantization half-step 1.5e-5 ≈ 0.8% of the 1/512 threshold).
+            # Overlap schedule: the vertex queries exist before the edge
+            # structure, so their upload + decoder eval dispatches first and
+            # runs while the C++ prep radix-sorts the edges; prep also hands
+            # back ea/eb so the cleanup skips its second sort
+            # (finalize_mesh_pre).
             bound = q16_bound(threshold, lo_, qstep)
             qverts = np.clip(
                 np.rint((mesh.vertices - lo_) * (1.0 / qstep)), 0, 65535
@@ -403,7 +389,7 @@ def get_mesh_from_udf(
             verts_pending = eval_in_chunks_async(
                 bound, qverts, cfg.max_batch, unpack_bits=True, mesh=cfg.mesh
             )
-            qmids, einv = native.face_filter_prep_q16(
+            qmids, einv, ea, eb = native.face_filter_prep_q16(
                 mesh.vertices, mesh.faces, lo_, 1.0 / qstep
             )
             times["ff_prep"] = round(time.perf_counter() - t0, 3)
@@ -432,10 +418,10 @@ def get_mesh_from_udf(
 
         t0 = time.perf_counter()
         if pre:
-            # reuse the emit pass's edge structure: the filtered mesh's edge
+            # reuse the prep's edge structure: the filtered mesh's edge
             # counts come from a linear bincount, not a second radix sort
             v, f = native.finalize_mesh_pre(
-                mesh.vertices, mesh.faces, ok, einv, edges["ea"], edges["eb"],
+                mesh.vertices, mesh.faces, ok, einv, ea, eb,
                 fill_holes=cfg.do_stabilize,
                 smooth_iters=20 if cfg.do_smooth_borders else 0,
                 lam=0.3,

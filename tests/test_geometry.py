@@ -396,7 +396,8 @@ def test_grid_filler_reuse_buffer_matches_fresh():
 
 
 def test_native_face_filter_prep_q16_matches_f32_prep():
-    """q16 prep == f32 prep's midpoints put through the numpy quantizer."""
+    """q16 prep == f32 prep's midpoints put through the numpy quantizer,
+    and its ea/eb match the numpy unique-edge oracle."""
     from surfd_tpu import native
 
     if not native.available():
@@ -406,13 +407,20 @@ def test_native_face_filter_prep_q16_matches_f32_prep():
     lo, hi = -1.0, 1.0
     qstep = (hi - lo) / 65535.0
     pts, einv = native.face_filter_prep(mesh.vertices, mesh.faces)
-    qmids, qeinv = native.face_filter_prep_q16(
+    qmids, qeinv, ea, eb = native.face_filter_prep_q16(
         mesh.vertices, mesh.faces, lo, 1.0 / qstep
     )
     np.testing.assert_array_equal(einv, qeinv)
     mids = pts[len(mesh.vertices):]
     oracle = np.clip(np.rint((mids - lo) * (1.0 / qstep)), 0, 65535).astype(np.uint16)
     np.testing.assert_array_equal(qmids, oracle)
+    f = mesh.faces
+    a = np.concatenate([f[:, 0], f[:, 1], f[:, 2]])
+    b = np.concatenate([f[:, 1], f[:, 2], f[:, 0]])
+    NV = len(mesh.vertices) + 1
+    uniq = np.unique(np.minimum(a, b) * NV + np.maximum(a, b))
+    np.testing.assert_array_equal(ea, uniq // NV)
+    np.testing.assert_array_equal(eb, uniq % NV)
 
 
 def test_eval_in_chunks_async_matches_sync():
@@ -425,43 +433,26 @@ def test_eval_in_chunks_async_matches_sync():
     np.testing.assert_array_equal(pending(), sync)
 
 
-def test_native_mt_emit_edges_and_finalize_pre_parity():
-    """Edge structure fused into the emit pass == the separate prep pass,
-    and finalize_mesh_pre == finalize_mesh given the same mask."""
+def test_native_finalize_pre_matches_finalize():
+    """finalize_mesh_pre (bincount over prep's edge structure) must produce
+    the exact mesh finalize_mesh (second radix sort) produces, given the
+    same below-threshold mask."""
     from surfd_tpu import native
 
     if not native.available():
         pytest.skip("native lib unavailable")
     udf, grad = sphere_udf_grids(48)
-    lo, qinv = -1.0, 65535.0 / 2.0
-    edges = {}
-    mesh = marching_tetrahedra_udf(
-        udf, grad, use_native=True, edges_out=edges, edges_quant=(lo, qinv)
-    )
+    mesh = marching_tetrahedra_udf(udf, grad, use_native=True)
     V = len(mesh.vertices)
     assert len(mesh.faces) > 100
 
-    qmids, einv = native.face_filter_prep_q16(mesh.vertices, mesh.faces, lo, qinv)
-    np.testing.assert_array_equal(edges["einv"], einv)
-    np.testing.assert_array_equal(edges["qpts"][V:], qmids)
-    qverts = np.clip(np.rint((mesh.vertices - lo) * qinv), 0, 65535).astype(np.uint16)
-    np.testing.assert_array_equal(edges["qpts"][:V], qverts)
-    # ea/eb against the numpy unique-edge oracle
-    f = mesh.faces
-    a = np.concatenate([f[:, 0], f[:, 1], f[:, 2]])
-    b = np.concatenate([f[:, 1], f[:, 2], f[:, 0]])
-    NV = V + 1
-    uniq = np.unique(np.minimum(a, b) * NV + np.maximum(a, b))
-    np.testing.assert_array_equal(edges["ea"], uniq // NV)
-    np.testing.assert_array_equal(edges["eb"], uniq % NV)
-
-    # same mask through both finalize entry points → identical meshes
-    rng = np.random.default_rng(1)
-    ok = (rng.random(V + len(uniq)) > 0.05).astype(np.uint8)
-    v1, f1 = native.finalize_mesh(mesh.vertices, mesh.faces, ok, einv)
-    v2, f2 = native.finalize_mesh_pre(
-        mesh.vertices, mesh.faces, ok, edges["einv"], edges["ea"], edges["eb"]
+    qmids, einv, ea, eb = native.face_filter_prep_q16(
+        mesh.vertices, mesh.faces, -1.0, 65535.0 / 2.0
     )
+    rng = np.random.default_rng(1)
+    ok = (rng.random(V + len(ea)) > 0.05).astype(np.uint8)
+    v1, f1 = native.finalize_mesh(mesh.vertices, mesh.faces, ok, einv)
+    v2, f2 = native.finalize_mesh_pre(mesh.vertices, mesh.faces, ok, einv, ea, eb)
     np.testing.assert_array_equal(f1, f2)
     np.testing.assert_array_equal(v1, v2)
 
