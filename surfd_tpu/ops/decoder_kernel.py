@@ -239,7 +239,7 @@ def pallas_folded_udf(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     hbm_const = lambda shape: pl.BlockSpec(
-        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.ANY
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pl.ANY
     )
     out = pl.pallas_call(
         _decoder_kernel,
