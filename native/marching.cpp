@@ -325,6 +325,39 @@ int64_t surfd_mt_active_cubes_blocks(
   return n_active;
 }
 
+// Ranks of every active-cube corner gid within the sorted near-gid list
+// (the np.searchsorted of the marching step, done as 8 linear merges: for a
+// fixed corner offset, corner gid = cube base gid + const, and cube_ids are
+// ascending — so each of the 8 columns is ascending and a single monotone
+// scan per column resolves all ranks in O(M + NN) instead of M·8·log NN).
+// Every corner is guaranteed present in `near` (pass 1 emitted exactly
+// these nodes). out: (M, 8) int32.
+void surfd_mt_corner_ranks(
+    const int64_t* near, int64_t NN, const int64_t* cube_ids, int64_t M,
+    int32_t R, int32_t* out) {
+  const int Rm1 = R - 1;
+  const int64_t RR = (int64_t)R * R;
+  // cube base gid (corner 0) per cube, ascending with cube_ids
+  std::vector<int64_t> base((size_t)M);
+  for (int64_t m = 0; m < M; ++m) {
+    int64_t cid = cube_ids[m];
+    int z = (int)(cid % Rm1);
+    int y = (int)((cid / Rm1) % Rm1);
+    int x = (int)(cid / ((int64_t)Rm1 * Rm1));
+    base[m] = (int64_t)x * RR + (int64_t)y * R + z;
+  }
+  for (int c = 0; c < 8; ++c) {
+    const int64_t off = (int64_t)CORNER_OFF[c][0] * RR +
+                        (int64_t)CORNER_OFF[c][1] * R + CORNER_OFF[c][2];
+    int64_t j = 0;
+    for (int64_t m = 0; m < M; ++m) {
+      const int64_t g = base[m] + off;
+      while (j < NN && near[j] < g) ++j;
+      out[m * 8 + c] = (int32_t)j;
+    }
+  }
+}
+
 // Scatter B³ uint16-quantized value blocks into the dense f32 grid, fusing
 // the u16→f32 dequantization (numpy: .astype + fancy index ≈ 0.5 s at 3.5M
 // points on this host; here one streaming pass).

@@ -463,18 +463,15 @@ def _marching_udf_native(
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
 
     # Dispatch the gradient eval FIRST when the evaluator supports async:
-    # the upload + device compute run while the host does the searchsorted.
+    # the upload + device compute run while the host resolves corner ranks.
     pending_g = grad_async(near_gids) if grad_async is not None else None
 
-    Rm1 = R - 1
-    cz = cube_ids % Rm1
-    cy = (cube_ids // Rm1) % Rm1
-    cx = cube_ids // (Rm1 * Rm1)
-    gids = _cube_corner_gids(np.stack([cx, cy, cz], axis=1), R)
     # Pass 1 emitted the sorted list of exactly the distinct active-cube
-    # corners, so resolving corner gradients is one searchsorted instead of
-    # an np.unique, and the device evaluates no gradient it will not use.
-    inv8 = np.searchsorted(near_gids, gids)
+    # corners, so resolving corner gradients is a rank lookup instead of an
+    # np.unique, and the device evaluates no gradient it will not use. The
+    # ranks come from 8 linear C++ merges (each corner column is ascending
+    # because pass 1 emits sorted cube ids) — O(M+NN), not M·8·log NN.
+    inv8 = native.mt_corner_ranks(near_gids, cube_ids, R)
     t0 = mark("mt_unique", t0)
     g_near = np.asarray(
         pending_g() if pending_g is not None else grad_lookup(near_gids), np.float32
@@ -482,7 +479,7 @@ def _marching_udf_native(
     t0 = mark("mt_grads", t0)
     norm = np.maximum(np.linalg.norm(g_near, axis=-1, keepdims=True), 1e-12)
     g_i8 = np.round(g_near / norm * 127.0).astype(np.int8)
-    g8 = g_i8[inv8.reshape(len(gids), 8)]
+    g8 = g_i8[inv8]
     t0 = mark("mt_g8", t0)
 
     # pass 2 orients triangles in-loop (per-cube s·g outward direction), so

@@ -101,6 +101,10 @@ def _load() -> ctypes.CDLL:
         ip, ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(i64p), ctypes.POINTER(i64p), i64p,
     ]
+    lib.surfd_mt_corner_ranks.restype = None
+    lib.surfd_mt_corner_ranks.argtypes = [
+        i64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int32, ip,
+    ]
     lib.surfd_scatter_u16_blocks.restype = None
     lib.surfd_scatter_u16_blocks.argtypes = [
         fp, ctypes.c_int32, ip, ctypes.c_int64, ctypes.c_int32,
@@ -194,6 +198,23 @@ def mt_active_cubes_blocks(
         _own(out, (max(int(n), 1),), int(n)),
         _own(near, (max(nn, 1),), nn),
     )
+
+
+def mt_corner_ranks(near_gids: np.ndarray, cube_ids: np.ndarray, R: int) -> np.ndarray:
+    """np.searchsorted(near_gids, corner_gids_of(cube_ids)) as 8 linear C++
+    merges (each corner column is ascending when cube_ids are sorted).
+    Returns (M, 8) int32 ranks."""
+    lib = _load()
+    near = np.ascontiguousarray(near_gids, dtype=np.int64)
+    ids = np.ascontiguousarray(cube_ids, dtype=np.int64)
+    out = np.empty((len(ids), 8), np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.surfd_mt_corner_ranks(
+        near.ctypes.data_as(i64p), len(near),
+        ids.ctypes.data_as(i64p), len(ids), R,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
 
 
 def scatter_u16_blocks(

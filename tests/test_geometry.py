@@ -395,6 +395,26 @@ def test_grid_filler_reuse_buffer_matches_fresh():
     assert g2 is not held
 
 
+def test_native_mt_corner_ranks_matches_searchsorted():
+    from surfd_tpu import native
+    from surfd_tpu.geometry.marching import _cube_corner_gids
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    udf, _ = sphere_udf_grids(48)
+    R = udf.shape[0]
+    voxel = 2.0 / (R - 1)
+    cube_ids, near = native.mt_active_cubes(udf, 1.74 * voxel, 1.05 * voxel)
+    assert len(cube_ids) > 100
+    Rm1 = R - 1
+    xyz = np.stack(
+        [cube_ids // (Rm1 * Rm1), (cube_ids // Rm1) % Rm1, cube_ids % Rm1], axis=1
+    )
+    oracle = np.searchsorted(near, _cube_corner_gids(xyz, R))
+    ranks = native.mt_corner_ranks(near, cube_ids, R)
+    np.testing.assert_array_equal(ranks, oracle)
+
+
 def test_native_face_filter_prep_q16_matches_f32_prep():
     """q16 prep == f32 prep's midpoints put through the numpy quantizer,
     and its ea/eb match the numpy unique-edge oracle."""
