@@ -12,7 +12,17 @@ metric. The timed pipeline is exactly the production path:
      5 CBN blocks, latent 32) + near-band gradient pass
   3. marching-tetrahedra UDF extraction + face filter + cleanup (host)
 
-Prints ONE JSON line:
+Robustness (the r2 driver run timed out with no output — the tunnel to the
+TPU intermittently stalls d2h for ~5 min): the whole run operates under a
+hard time budget (SURFD_BENCH_BUDGET seconds, default 1500).  Every heavy
+phase executes on a worker thread joined against the deadline; a heartbeat
+line is printed every 30 s; the FIRST completed extraction already yields a
+reportable number, later runs only improve it; and at the deadline (or on
+SIGTERM/SIGINT) the best result so far is printed and the process exits 0.
+The warm-up run uses the exact timed config, so it compiles nothing the
+timed path doesn't use.
+
+Prints ONE JSON line on stdout:
   {"metric": "latent_to_512_mesh_seconds", "value": ..., "unit": "s",
    "vs_baseline": ...}
 vs_baseline = north_star(5 s) / value  (>1 means faster than the target).
@@ -20,7 +30,10 @@ vs_baseline = north_star(5 s) / value  (>1 means faster than the target).
 
 import argparse
 import json
+import os
+import signal
 import sys
+import threading
 import time
 
 import jax
@@ -33,9 +46,64 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/surfd_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+T_START = time.perf_counter()
+DEADLINE = T_START + float(os.environ.get("SURFD_BENCH_BUDGET", "1500"))
+_PHASE = ["startup"]
+_RESULT = {}  # best result so far; printed exactly once at exit
+_EMITTED = threading.Event()
+
 
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.perf_counter()-T_START:7.1f}s]", *a, file=sys.stderr, flush=True)
+
+
+def emit_and_exit(code=0):
+    """Print the best result so far (exactly once) and hard-exit."""
+    if not _EMITTED.is_set():
+        _EMITTED.set()
+        if _RESULT:
+            print(json.dumps(_RESULT), flush=True)
+        else:
+            log("no completed extraction before deadline; nothing to report")
+            code = max(code, 1)
+    os._exit(code)
+
+
+def _heartbeat():
+    while not _EMITTED.is_set():
+        time.sleep(30)
+        rem = DEADLINE - time.perf_counter()
+        log(f"[hb] phase={_PHASE[0]} budget_left={rem:.0f}s")
+
+
+def run_phase(name, fn, *args):
+    """Run fn on a worker thread, joined against the global deadline.
+
+    A wedged device round trip (tunnel stall) cannot be interrupted, but the
+    main thread stays responsive: at the deadline it reports whatever has
+    completed and exits 0 instead of being killed output-less (r2 rc=124).
+    """
+    _PHASE[0] = name
+    box = {}
+
+    def work():
+        try:
+            box["out"] = fn(*args)
+        except BaseException as e:  # noqa: BLE001 — report, then die cleanly
+            box["err"] = e
+
+    th = threading.Thread(target=work, daemon=True, name=name)
+    t0 = time.perf_counter()
+    th.start()
+    th.join(max(1.0, DEADLINE - time.perf_counter()))
+    if th.is_alive():
+        log(f"phase '{name}' still running at deadline — reporting best-so-far")
+        emit_and_exit(0)
+    if "err" in box:
+        log(f"phase '{name}' FAILED: {box['err']!r}")
+        emit_and_exit(0)  # report best-so-far if any; rc 1 only if none
+    log(f"phase '{name}' done in {time.perf_counter()-t0:.1f}s")
+    return box.get("out")
 
 
 def fit_decoder_to_sphere(decoder, ce, latent, steps=1500, seed=0):
@@ -73,6 +141,8 @@ def fit_decoder_to_sphere(decoder, ce, latent, steps=1500, seed=0):
         udf = np.minimum(np.abs(r - 0.6), 0.1)
         target = jnp.asarray(1 - udf / 0.1, jnp.float32)
         params, stats, opt, l = fit_step(params, stats, opt, jnp.asarray(q), target)
+        if i % 250 == 0:
+            log(f"  fit step {i}/{steps}")
     log(f"decoder fitted: final BCE {float(l):.4f}")
     return {"params": params, "batch_stats": stats}
 
@@ -82,7 +152,13 @@ def main():
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--fit-steps", type=int, default=2500)
     ap.add_argument("--latent-size", type=int, default=32)
+    ap.add_argument("--max-runs", type=int, default=4,
+                    help="max extraction runs (first doubles as warm-up)")
     args = ap.parse_args()
+
+    threading.Thread(target=_heartbeat, daemon=True).start()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: emit_and_exit(0))
 
     from surfd_tpu.diffusion import named_schedule, p_sample_loop
     from surfd_tpu.models import MDM, CbnDecoder, CoordsEncoder
@@ -104,7 +180,9 @@ def main():
         fn = lambda x, t: mdm.apply(params, x, t)
         return p_sample_loop(sched, fn, (1, L, 1), rng)
 
-    sample_latent(params, jax.random.PRNGKey(1)).block_until_ready()  # compile
+    # compile (hits /tmp/surfd_jax_cache on repeat runs)
+    run_phase("compile_sampler",
+              lambda: np.asarray(sample_latent(params, jax.random.PRNGKey(1))))
     log("DDPM sampler compiled")
 
     # --- decoder fitted to the sphere UDF ---
@@ -118,8 +196,6 @@ def main():
     # key carries every setting the fit depends on — a stale cache after an
     # architecture edit would silently benchmark the wrong decoder
     cache_path = f"/tmp/surfd_bench_decoder_L{L}_h{hidden}x{layers}_s{args.fit_steps}.npz"
-    import os
-
     import flax
 
     if os.path.exists(cache_path):
@@ -128,9 +204,10 @@ def main():
         dvars = jax.tree.map(jnp.asarray, dvars)
         log(f"decoder loaded from {cache_path} (fit skipped)")
     else:
-        t_fit = time.perf_counter()
-        dvars = fit_decoder_to_sphere(decoder, ce, latent, steps=args.fit_steps)
-        log(f"fit time (excluded from metric): {time.perf_counter()-t_fit:.1f}s")
+        dvars = run_phase(
+            "fit_decoder",
+            lambda: fit_decoder_to_sphere(decoder, ce, latent, steps=args.fit_steps),
+        )
         host_vars = jax.tree.map(np.asarray, dvars)
         with open(cache_path, "wb") as fh:
             fh.write(flax.serialization.msgpack_serialize(host_vars))
@@ -138,53 +215,63 @@ def main():
     udf_fn = make_udf_fn(decoder, dvars, latent[0])
     cfg = MeshExtractionConfig(resolution=args.resolution, min_component_faces=0)
 
-    # warm the extraction path once (compiles the grid-eval executables)
-    get_mesh_from_udf(udf_fn, cfg=MeshExtractionConfig(resolution=args.resolution))
-    log("extraction path warmed")
+    # --- timed sampling (compile already done above; axon block_until_ready
+    # is a no-op, so force completion by fetching the tiny latent) ---
+    def timed_sample():
+        t0 = time.perf_counter()
+        lat = np.asarray(sample_latent(params, jax.random.PRNGKey(42)))
+        return time.perf_counter() - t0, lat
 
-    # --- the timed pipeline (best-of-3: the shared tunnel/VM adds ±50%
-    # run-to-run noise; min is the reproducible machine capability) ---
-    t0 = time.perf_counter()
-    lat = sample_latent(params, jax.random.PRNGKey(42))
-    lat.block_until_ready()
-    t_sample = time.perf_counter() - t0
+    t_sample, _ = run_phase("sample_latent", timed_sample)
+    log(f"latent sample: {t_sample:.2f}s")
 
-    t_mesh = float("inf")
+    # --- extraction runs: the FIRST run doubles as warm-up (same cfg → same
+    # executables as every later run) and already produces a reportable
+    # number; later runs, budget permitting, only improve it.  The shared
+    # tunnel/VM adds ±50% run-to-run noise; min is the machine capability. ---
     runs = []
-    for _ in range(3):
+
+    def one_extraction():
         t1 = time.perf_counter()
         mesh, stats_i = get_mesh_from_udf(udf_fn, cfg=cfg, return_stats=True)
-        dt = time.perf_counter() - t1
+        return time.perf_counter() - t1, mesh, stats_i
+
+    for i in range(args.max_runs):
+        est = runs[0] * 1.3 if runs else 0.0
+        if runs and time.perf_counter() + est > DEADLINE:
+            log(f"budget exhausted after {len(runs)} run(s)")
+            break
+        dt, mesh, stats = run_phase(f"extraction_{i}", one_extraction)
         runs.append(dt)
-        log(f"extraction run: {dt:.2f}s  {stats_i['times']}")
-        if dt < t_mesh:
-            t_mesh, stats = dt, stats_i
-    total = t_sample + t_mesh
-    median_total = t_sample + float(np.median(runs))
-
-    log(f"phase times: {stats['times']}")
-    log(
-        f"sample {t_sample:.2f}s + mesh {t_mesh:.2f}s = {total:.2f}s | "
-        f"verts {len(mesh.vertices)} faces {len(mesh.faces)} | "
-        f"active blocks {stats['active_blocks']}/{stats['total_blocks']} "
-        f"fine pts {stats['fine_points']/1e6:.1f}M / dense {stats['dense_points']/1e6:.0f}M"
-    )
-    # sanity: the mesh must be a plausible sphere shell
-    if len(mesh.faces) > 1000:
-        r = np.linalg.norm(mesh.vertices, axis=1)
-        log(f"sphere check: median r {np.median(r):.3f} (target 0.6)")
-
-    print(
-        json.dumps(
-            {
-                "metric": "latent_to_512_mesh_seconds",
-                "value": round(total, 3),
-                "unit": "s",
-                "vs_baseline": round(5.0 / total, 3),
-                "median_s": round(median_total, 3),
-            }
+        log(f"extraction run {i}{' (warm-up)' if i == 0 else ''}: "
+            f"{dt:.2f}s  {stats['times']}")
+        # best-of-completed: exclude the warm-up run once a clean run exists
+        timed = runs[1:] if len(runs) > 1 else runs
+        best = min(timed)
+        total = t_sample + best
+        _RESULT.update(
+            metric="latent_to_512_mesh_seconds",
+            value=round(total, 3),
+            unit="s",
+            vs_baseline=round(5.0 / total, 3),
+            median_s=round(t_sample + float(np.median(timed)), 3),
+            runs=[round(r, 2) for r in runs],
         )
-    )
+        log(f"result so far: {_RESULT['value']}s (vs_baseline {_RESULT['vs_baseline']})")
+        if i == 0:
+            # report the warm-up mesh's stats once — they are run-invariant
+            log(
+                f"verts {len(mesh.vertices)} faces {len(mesh.faces)} | "
+                f"active blocks {stats['active_blocks']}/{stats['total_blocks']} "
+                f"fine pts {stats['fine_points']/1e6:.1f}M / "
+                f"dense {stats['dense_points']/1e6:.0f}M"
+            )
+            # sanity: the mesh must be a plausible sphere shell
+            if len(mesh.faces) > 1000:
+                r = np.linalg.norm(mesh.vertices, axis=1)
+                log(f"sphere check: median r {np.median(r):.3f} (target 0.6)")
+
+    emit_and_exit(0)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--num_points_pcd", type=int, default=10_000)
     ap.add_argument("--schedule_sampler", default="uniform",
                     choices=["uniform", "loss-second-moment"])
+    ap.add_argument("--cond_mask_prob", type=float, default=0.0,
+                    help="conditioning-dropout prob for CFG training "
+                         "(reference mdm.py:27 stored this but never applied it)")
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="UNet res-block dropout (openaimodel.py:450)")
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--captions_csv", default="")
@@ -92,7 +97,8 @@ def main():
     else:
         print("WARNING: no AE encoder weights; using random encoder", file=sys.stderr)
 
-    mdm = MDM(cond_mode=args.cond_mode, model_channels=args.model_channels)
+    mdm = MDM(cond_mode=args.cond_mode, model_channels=args.model_channels,
+              dropout=args.dropout)
     x0 = jnp.zeros((args.batch_size, args.latent_size, 1))
     t0 = jnp.zeros((args.batch_size,), jnp.int32)
     kw = {}
@@ -114,6 +120,8 @@ def main():
         num_points_pcd=args.num_points_pcd,
         schedule_sampler=args.schedule_sampler,
         cond_mode=args.cond_mode,
+        cond_mask_prob=args.cond_mask_prob,
+        dropout=args.dropout,
     )
     tx = make_optimizer(cfg.lr, weight_decay=args.weight_decay)
     state = create_train_state(params, tx)

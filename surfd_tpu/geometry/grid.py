@@ -506,9 +506,14 @@ class GridFiller:
             return np.full((N, N, N), self.max_dist, dtype=np.float32)
         key = (N, round(float(self.max_dist), 9))
         pool = _GRID_BUF_CACHE.get(key)
-        if not pool:
+        try:
+            # pop() itself is the atomicity point: a separate `if not pool`
+            # check would race with a concurrent consumer (pipelined depth=2).
+            grid, prev_ab, prev_B = pool.pop() if pool is not None else (None,) * 3
+        except IndexError:
+            grid = None
+        if grid is None:
             return np.full((N, N, N), self.max_dist, dtype=np.float32)
-        grid, prev_ab, prev_B = pool.pop()
         if len(prev_ab):
             from .. import native
 

@@ -38,6 +38,7 @@ class MDM(nn.Module):
     num_res_blocks: int = 2
     channel_mult: tuple = (1, 2, 4, 4)
     num_heads: int = 8
+    dropout: float = 0.0  # reference openaimodel.py:450 (0 in shipped config)
     use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -63,7 +64,9 @@ class MDM(nn.Module):
             attention_resolutions=(4, 2, 1),
             channel_mult=self.channel_mult,
             num_classes=self.num_actions + 1 if self.cond_mode == "category" else None,
+            null_class=self.null_action if self.cond_mode == "category" else None,
             num_heads=self.num_heads,
+            dropout=self.dropout,
             context_dim=self.clip_dim,
             use_remat=self.use_remat,
             dtype=self.dtype,
@@ -76,14 +79,15 @@ class MDM(nn.Module):
         timesteps: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         action: Optional[jnp.ndarray] = None,
+        train: bool = False,
     ) -> jnp.ndarray:
         if self.cond_mode in ("text", "sketch", "img"):
             assert context is not None, f"{self.cond_mode} conditioning requires context"
-            return self.unet(x, timesteps, context=context)
+            return self.unet(x, timesteps, context=context, train=train)
         if self.cond_mode == "category":
             assert action is not None, "category conditioning requires action labels"
-            return self.unet(x, timesteps, y=action)
-        return self.unet(x, timesteps)
+            return self.unet(x, timesteps, y=action, train=train)
+        return self.unet(x, timesteps, train=train)
 
 
 def make_cfg_model_fn(model: MDM, params, guidance_scale: float, *, context=None, action=None):

@@ -34,6 +34,11 @@ class ResBlock1D(nn.Module):
     use_scale_shift_norm: bool = False
     up: bool = False
     down: bool = False
+    # reference openaimodel.py:228 nn.Dropout(p=dropout) between the SiLU and
+    # the zeroed out-conv; 0.0 in the shipped Surf-D config (mdm.py:40) but the
+    # training capability is part of the lineage.
+    dropout: float = 0.0
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, x, emb):
@@ -60,6 +65,8 @@ class ResBlock1D(nn.Module):
         else:
             h = h + emb_out
             h = nn.silu(GroupNorm32()(h))
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
         h = zeros_conv(self.out_channels, 3, name="out_conv")(h)
 
         if in_ch != self.out_channels:
@@ -132,7 +139,12 @@ class UNet1D(nn.Module):
     channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
     conv_resample: bool = True
     num_classes: Optional[int] = None
+    # when set, this label_emb row is zero-initialized so the CFG uncond
+    # branch matches the reference's zeroed-conditioning semantics even for
+    # from-scratch checkpoints (cfg_sampler.py:18-23 zeroes the payload)
+    null_class: Optional[int] = None
     num_heads: int = 8
+    dropout: float = 0.0
     use_scale_shift_norm: bool = False
     context_dim: Optional[int] = 512
     # LDM cross-attention path (reference openaimodel.py use_spatial_transformer;
@@ -143,11 +155,22 @@ class UNet1D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, timesteps, context=None, y=None):
+    def __call__(self, x, timesteps, context=None, y=None, train: bool = False):
         assert (y is not None) == (self.num_classes is not None), (
             "must specify y iff the model is class-conditional"
         )
-        res_block = nn.remat(ResBlock1D) if self.use_remat else ResBlock1D
+        base = ResBlock1D
+        if self.use_remat:
+            base = nn.remat(ResBlock1D)
+
+        def res_block(out_ch, *, name):
+            return base(
+                out_ch,
+                use_scale_shift_norm=self.use_scale_shift_norm,
+                dropout=self.dropout,
+                deterministic=not train,
+                name=name,
+            )
 
         time_embed_dim = self.model_channels * 4
         t_emb = timestep_embedding(timesteps, self.model_channels)
@@ -156,7 +179,17 @@ class UNet1D(nn.Module):
 
         ctx_seq = None
         if self.num_classes is not None:
-            emb = emb + nn.Embed(self.num_classes, time_embed_dim, name="label_emb")(y)
+            embed_init = nn.initializers.normal(stddev=1.0)  # torch nn.Embedding default
+            if self.null_class is not None:
+                base_init, null_class = embed_init, self.null_class
+
+                def embed_init(key, shape, dtype=jnp.float32):
+                    return base_init(key, shape, dtype).at[null_class].set(0.0)
+
+            emb = emb + nn.Embed(
+                self.num_classes, time_embed_dim, embedding_init=embed_init,
+                name="label_emb",
+            )(y)
         if context is not None:
             if self.use_spatial_transformer:
                 # cross-attention context: (B, T, C)
@@ -183,11 +216,7 @@ class UNet1D(nn.Module):
         # --- encoder ---
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
-                h = res_block(
-                    mult * self.model_channels,
-                    use_scale_shift_norm=self.use_scale_shift_norm,
-                    name=f"down_{level}_{i}",
-                )(h, emb)
+                h = res_block(mult * self.model_channels, name=f"down_{level}_{i}")(h, emb)
                 if ds in self.attention_resolutions:
                     h = attn(h, f"down_attn_{level}_{i}")
                 hs.append(h)
@@ -197,18 +226,14 @@ class UNet1D(nn.Module):
                 ds *= 2
         # --- middle ---
         ch = h.shape[-1]
-        h = res_block(ch, use_scale_shift_norm=self.use_scale_shift_norm, name="mid_res_0")(h, emb)
+        h = res_block(ch, name="mid_res_0")(h, emb)
         h = attn(h, "mid_attn")
-        h = res_block(ch, use_scale_shift_norm=self.use_scale_shift_norm, name="mid_res_1")(h, emb)
+        h = res_block(ch, name="mid_res_1")(h, emb)
         # --- decoder ---
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = res_block(
-                    mult * self.model_channels,
-                    use_scale_shift_norm=self.use_scale_shift_norm,
-                    name=f"up_{level}_{i}",
-                )(h, emb)
+                h = res_block(mult * self.model_channels, name=f"up_{level}_{i}")(h, emb)
                 if ds in self.attention_resolutions:
                     h = attn(h, f"up_attn_{level}_{i}")
                 if level and i == self.num_res_blocks:

@@ -287,7 +287,7 @@ def finalize_mesh_pre(
     lam: float = 0.3,
     merge_decimals: int = 6,
 ):
-    """finalize_mesh reusing the edge structure from mt_emit_edges — the
+    """finalize_mesh reusing the edge structure from face_filter_prep_q16 — the
     filtered mesh's edges come from a linear bincount instead of a second
     radix sort over the face soup."""
     lib = _load()

@@ -344,9 +344,9 @@ def get_mesh_from_udf(
         # touches — no dense (R³, 3) gradient grid is built or transferred.
         grad_at = lambda pts: eval_in_chunks(grad_fn, pts, cfg.max_batch, mesh=cfg.mesh)
         grad_at.by_gid = False
-    # When the fused quantized filter will run, the marching emit pass also
-    # returns the mesh's unique-edge structure + pre-quantized query points
-    # (one hot pass instead of a separate prep re-walk of the face soup).
+    # When the fused quantized filter will run, face_filter_prep_q16 builds
+    # the mesh's unique-edge structure + pre-quantized query points in one
+    # pass; finalize_mesh_pre later reuses that edge structure.
     from .. import native
 
     q16_bound = getattr(udf_fn, "below_packed_q16_bound", None)

@@ -44,6 +44,12 @@ class DiffusionTrainConfig:
     num_points_pcd: int = 10_000
     schedule_sampler: str = "uniform"
     cond_mode: str = "no_cond"
+    # Conditioning dropout for CFG: with prob p per example, context→zeros /
+    # action→null_action so the samplers' unconditional branch is trained.
+    # The reference STORES this (models/mdm.py:27) but never applies it — the
+    # one place "match the reference" means "implement what it intended".
+    cond_mask_prob: float = 0.0
+    dropout: float = 0.0  # UNet res-block dropout (openaimodel.py:450)
 
 
 def make_train_step(
@@ -53,6 +59,7 @@ def make_train_step(
     encoder_apply: Optional[Callable] = None,
     l1_weight: float = 1000.0,
     ema_rate: float = 0.0,
+    cond_mask_prob: float = 0.0,
 ):
     """Build the jitted train step.
 
@@ -82,8 +89,22 @@ def make_train_step(
         context = batch.get("context")
         action = batch.get("action")
 
+        rng, drop_rng, cond_rng = jax.random.split(rng, 3)
+        if cond_mask_prob > 0.0:
+            keep_shape = (x0.shape[0],)
+            drop = jax.random.bernoulli(cond_rng, cond_mask_prob, keep_shape)
+            if context is not None:
+                context = jnp.where(drop[:, None], 0.0, context)
+            if action is not None:
+                action = jnp.where(drop, mdm.null_action, action)
+
+        train = mdm.dropout > 0.0
+
         def model_fn(x, tt):
-            return mdm.apply({"params": params}, x, tt, context=context, action=action)
+            return mdm.apply(
+                {"params": params}, x, tt, context=context, action=action,
+                train=train, rngs={"dropout": drop_rng} if train else None,
+            )
 
         terms = training_losses(
             sched, model_fn, x0, t, rng,
@@ -157,7 +178,8 @@ class DiffusionTrainer:
 
         tx = make_optimizer(cfg.lr, cfg.weight_decay)
         self._step_fn = make_train_step(
-            mdm, sched, tx, encoder_apply, cfg.l1_weight, cfg.ema_rate
+            mdm, sched, tx, encoder_apply, cfg.l1_weight, cfg.ema_rate,
+            cond_mask_prob=cfg.cond_mask_prob,
         )
         self._np_rng = np.random.default_rng(0)
 

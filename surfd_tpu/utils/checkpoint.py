@@ -29,7 +29,7 @@ class Checkpointer:
         )
 
     def save(self, step: int, state: Any, force: bool = False) -> bool:
-        if step in (self.manager.all_steps() or ()):  # already on disk
+        if not force and step in (self.manager.all_steps() or ()):  # already on disk
             return False
         return self.manager.save(
             step, args=ocp.args.StandardSave(state), force=force

@@ -221,3 +221,50 @@ def test_grid_autoencoder_roundtrip_shapes():
     assert out.shape == (1, 16, 16, 16, 1)
     z = ae.apply(v, x, method=GridAutoencoder.encode)
     assert z.shape == (1, 8, 8, 8, 4)
+
+
+def test_label_emb_null_row_zero_init():
+    """From-scratch category models start with a ZERO null embedding row so
+    the CFG uncond branch matches the reference's zeroed-conditioning
+    semantics (cfg_sampler.py:18-23) before any conditioning-dropout
+    training (advisor r2; torch_convert zero-pads the row for converted
+    checkpoints already)."""
+    mdm = MDM(
+        cond_mode="category", num_actions=9,
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+    )
+    x = jnp.ones((2, 32, 1))
+    t = jnp.array([1, 2])
+    v = mdm.init(jax.random.PRNGKey(0), x, t, action=jnp.array([0, 3]))
+    emb = np.asarray(v["params"]["unet"]["label_emb"]["embedding"])
+    assert emb.shape[0] == 10
+    np.testing.assert_array_equal(emb[mdm.null_action], 0.0)
+    # real class rows are NOT zero (torch nn.Embedding N(0,1) init)
+    assert np.abs(emb[:9]).max() > 0.1
+
+
+def test_resblock_dropout_paths():
+    """UNet res-block dropout (reference openaimodel.py:228,450): train=True
+    is stochastic over the dropout rng; train=False (and dropout=0) is
+    deterministic and identical to the no-dropout model on the same params."""
+    kw = dict(cond_mode="no_cond", model_channels=32, channel_mult=(1, 2),
+              num_res_blocks=1)
+    mdm_d = MDM(dropout=0.5, **kw)
+    mdm_0 = MDM(dropout=0.0, **kw)
+    x = jnp.ones((2, 32, 1))
+    t = jnp.array([1, 2])
+    v = mdm_d.init(jax.random.PRNGKey(0), x, t)  # train=False: no rng needed
+    # perturb the zero-init out convs so outputs are nonzero
+    v = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.PRNGKey(7), p.shape), v
+    )
+    out_det = mdm_d.apply(v, x, t)
+    out_0 = mdm_0.apply(v, x, t)
+    np.testing.assert_allclose(np.asarray(out_det), np.asarray(out_0), atol=1e-6)
+
+    o1 = mdm_d.apply(v, x, t, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = mdm_d.apply(v, x, t, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    # same rng → reproducible
+    o1b = mdm_d.apply(v, x, t, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o1b), atol=1e-6)

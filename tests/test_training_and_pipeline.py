@@ -383,3 +383,57 @@ def test_multihost_utils_single_host():
     assert float(out["a"]) == 3.5
     gathered = all_gather_host(np.array([1, 2], np.int32))
     assert np.asarray(gathered).reshape(-1).tolist()[-2:] == [1, 2]
+
+
+def test_cond_mask_prob_trains_null_row_then_cfg_samples():
+    """VERDICT r2 #5: conditioning dropout (the reference's stored-but-unused
+    cond_mask_prob, models/mdm.py:27) maps action→null_action with prob p in
+    the jitted step, so the CFG uncond branch is actually trained: the null
+    embedding row receives gradients, and guidance≠1 sampling through the
+    trained branch yields sane output."""
+    from surfd_tpu.diffusion import p_sample_loop
+    from surfd_tpu.models.mdm import make_cfg_model_fn
+
+    mdm = MDM(cond_mode="category", num_actions=4,
+              model_channels=32, channel_mult=(1, 2), num_res_blocks=1)
+    B, L = 8, 16
+    x0 = jnp.zeros((B, L, 1))
+    t0 = jnp.zeros((B,), jnp.int32)
+    action = jnp.arange(B, dtype=jnp.int32) % 4
+    params = mdm.init(jax.random.PRNGKey(0), x0, t0, action=action)["params"]
+    row0 = np.asarray(params["unet"]["label_emb"]["embedding"]).copy()
+    np.testing.assert_array_equal(row0[mdm.null_action], 0.0)  # zero-init
+
+    sched = named_schedule("cosine", 10)
+    tx = make_optimizer(lr=1e-3)
+    state = create_train_state(params, tx)
+    step = make_train_step(mdm, sched, tx, cond_mask_prob=0.5)
+
+    latents = jax.random.normal(jax.random.PRNGKey(1), (B, L)) * 0.3
+    batch = {"latents": latents, "action": action}
+    rng = jax.random.PRNGKey(2)
+    for _ in range(5):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, batch, jnp.zeros((B,), jnp.int32), jnp.ones((B,)), sub)
+    row1 = np.asarray(state.params["unet"]["label_emb"]["embedding"])
+    # the null row received gradients (dropped examples routed through it)
+    assert np.abs(row1[mdm.null_action]).max() > 0
+    # real rows trained too
+    assert np.abs(row1[:4] - row0[:4]).max() > 0
+
+    # cond_mask_prob=0 leaves the null row untouched (control)
+    state0 = create_train_state(params, tx)
+    step0 = make_train_step(mdm, sched, tx, cond_mask_prob=0.0)
+    state0, _ = step0(state0, batch, jnp.zeros((B,), jnp.int32), jnp.ones((B,)),
+                      jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(
+        np.asarray(state0.params["unet"]["label_emb"]["embedding"])[mdm.null_action], 0.0
+    )
+
+    # guidance != 1 samples through the (now trained) uncond branch
+    fn = make_cfg_model_fn(mdm, {"params": state.params}, guidance_scale=2.5,
+                           action=jnp.array([1, 2], jnp.int32))
+    out = p_sample_loop(sched, fn, (2, L, 1), jax.random.PRNGKey(4))
+    out = np.asarray(out)
+    assert out.shape == (2, L, 1) and np.isfinite(out).all()
+    assert np.abs(out).max() < 50  # sane magnitude, not a blown-up branch
