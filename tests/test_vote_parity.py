@@ -1,0 +1,119 @@
+"""Parity of crossing-parity sign recovery vs the reference's gradient-vote
+algorithm (VERDICT r2 missing #1 / next #2).
+
+surfd_tpu.geometry.vote_signs ports the reference's vote/BFS machinery
+(_marching_cubes_lewiner_cy.pyx:1160-1773) as a numpy oracle; both sign
+schemes feed the SAME MT triangulation, so every comparison below isolates
+exactly the sign-assignment difference — under EXACT analytic gradients and
+under noise injected at (and beyond) the magnitudes a trained decoder
+produces. The full sweep lives in scripts/vote_parity_study.py; measured
+numbers in PARITY.md.
+"""
+
+import base64
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+from surfd_tpu.geometry.analytic import sheet_fields, sphere_fields, torus_fields
+from surfd_tpu.geometry.marching import marching_tetrahedra_udf
+from surfd_tpu.geometry.metrics import chamfer_distance, hausdorff_distance
+from surfd_tpu.geometry.vote_signs import (
+    _TRIVIAL,
+    marching_tetrahedra_vote,
+    vote_sign_field,
+)
+
+_REF_LUTS = "/root/reference/meshudf/_marching_cubes_lewiner_luts.py"
+
+
+def test_trivial_classifier_matches_reference_lut():
+    """The from-first-principles MC case classifier must agree with the
+    reference's CASES LUT on (a) which indices produce faces and (b) the
+    trivial set {1,2,5,8,9} used for BFS routing (_cy.pyx:1747)."""
+    if not os.path.exists(_REF_LUTS):
+        pytest.skip("reference LUT module not available")
+    spec = importlib.util.spec_from_file_location("ref_luts", _REF_LUTS)
+    luts = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(luts)
+    shape, data = luts.CASES
+    cases = np.frombuffer(base64.decodebytes(data.encode()), np.int8).reshape(shape)[:, 0]
+    for idx in range(256):
+        assert (cases[idx] > 0) == (idx not in (0, 255))
+        assert _TRIVIAL[idx] == (cases[idx] in (1, 2, 5, 8, 9)), idx
+
+
+def _toward(grad_udf):
+    """Fixture gradients are ∂udf/∂xyz (away from the surface, unit); the
+    vote oracle wants the reference's -normalize(∂udf/∂p) (toward)."""
+    return -grad_udf
+
+
+@pytest.mark.parametrize("make", [sphere_fields, torus_fields], ids=["sphere", "torus"])
+def test_vote_signs_exact_gradients_match_truth(make):
+    """With exact gradients the vote BFS recovers the true signs (up to a
+    global flip) on every face-producing cube corner."""
+    R = 48
+    sdf, udf, grad, _ = make(R)
+    signed, emitted = vote_sign_field(udf, _toward(grad))
+    assert emitted.sum() > 100
+    cubes = np.argwhere(emitted)
+    offs = np.array([(0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0),
+                     (1, 0, 0), (1, 0, 1), (1, 1, 1), (1, 1, 0)])
+    corners = (cubes[:, None, :] + offs[None]).reshape(-1, 3)
+    s = signed[corners[:, 0], corners[:, 1], corners[:, 2]]
+    t = np.sign(sdf[corners[:, 0], corners[:, 1], corners[:, 2]])
+    ok = s != 0
+    agree = (s[ok] == t[ok]).mean()
+    assert agree > 0.999 or agree < 0.001, f"sign agreement {agree:.4f}"
+
+
+def _noisy(grad, sigma, rng):
+    g = grad + sigma * rng.standard_normal(grad.shape).astype(np.float32)
+    return g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+
+
+@pytest.mark.parametrize("make", [sphere_fields, sheet_fields], ids=["sphere", "open_sheet"])
+@pytest.mark.parametrize("sigma", [0.15, 0.35], ids=["noise6deg", "noise19deg"])
+def test_vote_mt_vs_parity_mt_under_gradient_noise(make, sigma):
+    """The deviation's load-bearing claim: under noisy gradients (unit-vector
+    perturbation sigma ≈ tan(angular error); a trained decoder sits around
+    5-15° near the surface) crossing-parity extraction stays within a
+    fraction of a voxel of the reference's vote extraction, and both stay
+    sub-voxel vs the true surface."""
+    R = 64
+    voxel = 2.0 / (R - 1)
+    _, udf, grad, sample = make(R)
+    rng = np.random.default_rng(0)
+    noisy_away = _noisy(grad, sigma, rng)
+
+    m_parity = marching_tetrahedra_udf(udf, noisy_away, use_native=False)
+    m_vote = marching_tetrahedra_vote(udf, -noisy_away)
+    assert len(m_parity.faces) > 500 and len(m_vote.faces) > 500
+
+    true_pts = sample(20000, np.random.default_rng(1))
+    rms_p = np.sqrt(chamfer_distance(m_parity.vertices, true_pts) / 2.0)
+    rms_v = np.sqrt(chamfer_distance(m_vote.vertices, true_pts) / 2.0)
+    # both schemes stay sub-voxel vs ground truth under noise
+    assert rms_p < 1.0 * voxel, f"parity RMS {rms_p / voxel:.3f} voxels"
+    assert rms_v < 1.0 * voxel, f"vote RMS {rms_v / voxel:.3f} voxels"
+    # and parity-MT is within epsilon of vote-MT (not worse by >0.25 voxel)
+    assert rms_p <= rms_v + 0.25 * voxel, (
+        f"parity {rms_p / voxel:.3f} vox vs vote {rms_v / voxel:.3f} vox"
+    )
+    # mesh-to-mesh: the two extractions describe the same surface
+    rms_pv = np.sqrt(chamfer_distance(m_parity.vertices, m_vote.vertices) / 2.0)
+    assert rms_pv < 1.0 * voxel, f"parity↔vote RMS {rms_pv / voxel:.3f} voxels"
+
+
+def test_vote_mt_exact_gradients_matches_parity_mt():
+    """Noise-free control: both schemes produce essentially the same mesh."""
+    R = 48
+    voxel = 2.0 / (R - 1)
+    _, udf, grad, _ = sphere_fields(R)
+    m_parity = marching_tetrahedra_udf(udf, grad, use_native=False)
+    m_vote = marching_tetrahedra_vote(udf, _toward(grad))
+    hd = hausdorff_distance(m_parity.vertices, m_vote.vertices)
+    assert hd < 0.75 * voxel, f"Hausdorff {hd / voxel:.2f} voxels"
