@@ -172,6 +172,9 @@ def init_clip(rng=None):
 
 DEFAULT_BPE_PATHS = (
     os.environ.get("SURFD_CLIP_BPE", ""),
+    # packaged merge list (pure data, shipped in the wheel): the exact
+    # 48894-merge slice the tokenizer consumes, no version header
+    os.path.join(os.path.dirname(__file__), os.pardir, "assets", "clip_bpe_merges.txt.gz"),
     "/root/reference/CLIP/clip/bpe_simple_vocab_16e6.txt.gz",
 )
 
@@ -208,7 +211,13 @@ class SimpleTokenizer:
             )
         self.byte_encoder = _bytes_to_unicode()
         merges = gzip.open(bpe_path).read().decode("utf-8").split("\n")
-        merges = merges[1 : 49152 - 256 - 2 + 1]
+        if merges and merges[0].startswith('"'):
+            # published bpe_simple_vocab_16e6 format: version header + full
+            # 262k list, of which only this slice is consumed
+            merges = merges[1 : 49152 - 256 - 2 + 1]
+        else:
+            # packaged format: exactly the consumed merges, no header
+            merges = [m for m in merges if m][: 49152 - 256 - 2]
         merges = [tuple(m.split()) for m in merges]
         vocab = list(self.byte_encoder.values())
         vocab = vocab + [v + "</w>" for v in vocab]

@@ -16,6 +16,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def auto_chunk(B: int, N: int, budget: int = 4 * 1024**3) -> int:
+    """Query-chunk size for the kNN distance tiles.
+
+    One full (N, N) tile per batch element while the BATCH of tiles fits the
+    budget — under vmap all B tiles are live at once, so the cap is
+    B·N²·4 bytes, not N alone (VERDICT r2 #10: B=16 × 10k points must tile
+    instead of materializing 6.4 GB inside one jit). The production AE config
+    (B=8 × 10k ⇒ 3.2 GB) stays on the fast single-tile path.
+    """
+    return N if B * N * N * 4 <= budget else max(budget // (B * N * 4), 256)
+
+
 def knn_indices(
     points: jnp.ndarray, k: int, chunk: int | None = None, block: int = 100
 ) -> jnp.ndarray:
@@ -34,11 +46,13 @@ def knn_indices(
     """
     B, N, _ = points.shape
     if chunk is None:
-        # Auto policy: one full (N, N) tile while it fits comfortably (at
-        # N=16k the distance matrix is 1 GB f32 per batch element; the
-        # lax.map tiling costs ~4.5 ms of loop overhead per iteration, which
-        # at N=10k made the whole train step 50% slower) — tile past that.
-        chunk = N if N <= 16384 else 2048
+        # Auto policy: one full (N, N) tile while the BATCH of distance
+        # matrices fits comfortably — under vmap all B tiles are live at
+        # once, so the budget is B·N²·4 bytes (plus the same again for the
+        # backward pass), not N alone. The lax.map tiling costs ~4.5 ms of
+        # loop overhead per iteration, which at N=10k made the whole train
+        # step 50% slower — so prefer the single tile while it fits.
+        chunk = auto_chunk(B, N)
     if N % chunk != 0:
         # largest divisor of N ≤ the requested tile so the map covers N exactly
         chunk = next((c for c in range(min(chunk, N), 0, -1) if N % c == 0), N)

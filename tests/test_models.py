@@ -268,3 +268,22 @@ def test_resblock_dropout_paths():
     # same rng → reproducible
     o1b = mdm_d.apply(v, x, t, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o1b), atol=1e-6)
+
+
+def test_knn_auto_chunk_accounts_for_batch():
+    """VERDICT r2 #10: the kNN tiling policy caps B·N²·4 bytes, not N alone."""
+    from surfd_tpu.models.dgcnn import auto_chunk, knn_indices
+
+    # production AE config stays on the fast single-tile path
+    assert auto_chunk(8, 10_000) == 10_000
+    # one notch up (batch 16 × 10k = 6.4 GB) tiles instead of OOMing
+    c = auto_chunk(16, 10_000)
+    assert c < 10_000
+    assert 16 * c * 10_000 * 4 <= 4 * 1024**3
+    # huge single-item clouds tile too
+    assert auto_chunk(1, 40_000) < 40_000
+    # and the tiled path stays exact
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(2, 256, 3)), jnp.float32)
+    i_full = knn_indices(pts, 8, chunk=256)
+    i_tiled = knn_indices(pts, 8, chunk=64)
+    np.testing.assert_array_equal(np.asarray(i_full), np.asarray(i_tiled))

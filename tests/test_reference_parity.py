@@ -209,3 +209,37 @@ def test_clip_towers_forward_parity_vs_reference():
     ours_txt = ours.encode_text(variables, jnp.asarray(tok.astype(np.int32)))
     np.testing.assert_allclose(np.asarray(ours_img), ref_img, rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(ours_txt), ref_txt, rtol=1e-3, atol=2e-3)
+
+
+def test_clip_fp16_checkpoint_conversion(tmp_path):
+    """Published CLIP checkpoints are fp16 (the reference applies
+    convert_weights, CLIP/clip/model.py:375-397, and ships fp16-jit
+    archives). convert_torch_clip_file must load an fp16 state dict / jit
+    archive and produce the SAME fp32 tree as converting the fp32 original
+    (up to fp16 rounding) — VERDICT r2 #9."""
+    from surfd_tpu.models.clip import convert_torch_clip_file
+
+    ref_mod = _load_ref_module("ref_clip_model_fp16", "CLIP/clip/model.py")
+    torch.manual_seed(1)
+    ref = ref_mod.CLIP(
+        embed_dim=512, image_resolution=224, vision_layers=12,
+        vision_width=768, vision_patch_size=32, context_length=77,
+        vocab_size=49408, transformer_width=512, transformer_heads=8,
+        transformer_layers=12,
+    ).eval()
+
+    sd32 = {k: v.clone() for k, v in ref.state_dict().items()}
+    tree32 = convert_torch_clip_state_dict(sd32)
+
+    # the reference's own fp16 cast, then a plain .pt save
+    ref_mod.convert_weights(ref)
+    p16 = tmp_path / "clip_fp16.pt"
+    torch.save(ref.state_dict(), str(p16))
+    tree16 = convert_torch_clip_file(str(p16))
+
+    leaves32 = jax.tree.leaves(tree32)
+    leaves16 = jax.tree.leaves(tree16)
+    assert len(leaves32) == len(leaves16)
+    for a, b in zip(leaves32, leaves16):
+        assert b.dtype == np.float32  # cast-to-fp32 on convert
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
