@@ -403,6 +403,77 @@ def convert_torch_clip_file(pt_path: str) -> dict:
     return convert_torch_clip_state_dict(sd)
 
 
+# Model zoo (reference CLIP/clip/clip.py:30-41 `_MODELS`; the sha256 is the
+# path component of each published URL). Only ViT-B/32 matches this module's
+# tower configuration — it is the model Surf-D uses everywhere.
+CLIP_ZOO = {
+    "ViT-B/32": "https://openaipublic.azureedge.net/clip/models/"
+    "40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
+}
+
+
+def _default_cache_dir() -> str:
+    return os.environ.get(
+        "SURFD_CLIP_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "surfd_tpu", "clip"),
+    )
+
+
+def download_clip_checkpoint(name: str = "ViT-B/32", cache_dir: Optional[str] = None) -> str:
+    """Fetch a published CLIP .pt into the cache with SHA-256 verification
+    (reference CLIP/clip/clip.py:44-76 `_download`). Returns the local path;
+    raises with instructions in air-gapped environments."""
+    import hashlib
+    import urllib.request
+
+    if name not in CLIP_ZOO:
+        raise KeyError(f"unknown CLIP model {name!r}; available: {list(CLIP_ZOO)}")
+    url = CLIP_ZOO[name]
+    sha = url.split("/")[-2]
+    root = cache_dir or _default_cache_dir()
+    os.makedirs(root, exist_ok=True)
+    target = os.path.join(root, os.path.basename(url))
+    if os.path.exists(target):
+        with open(target, "rb") as fh:
+            if hashlib.sha256(fh.read()).hexdigest() == sha:
+                return target
+        os.remove(target)  # corrupt/partial — re-fetch
+    try:
+        urllib.request.urlretrieve(url, target + ".part")
+    except Exception as e:
+        raise RuntimeError(
+            f"cannot download {name} ({url}): {e}. In air-gapped environments "
+            f"place the checkpoint at {target} (or pass a .pt/.npz path to "
+            "load_clip directly)."
+        ) from e
+    with open(target + ".part", "rb") as fh:
+        got = hashlib.sha256(fh.read()).hexdigest()
+    if got != sha:
+        os.remove(target + ".part")
+        raise RuntimeError(f"{name}: SHA-256 mismatch ({got} != {sha})")
+    os.replace(target + ".part", target)
+    return target
+
+
+def load_clip(name_or_path: str = "ViT-B/32", cache_dir: Optional[str] = None):
+    """One-stop loader (the reference's `clip.load`, CLIP/clip/clip.py:94-142):
+    a zoo name downloads + verifies + converts (cached as npz next to the
+    .pt); a .pt path converts; a .npz path loads directly. fp16 checkpoints
+    are cast to fp32 during conversion. Returns (model, variables)."""
+    if name_or_path.endswith(".npz"):
+        return load_clip_params(name_or_path)
+    if name_or_path.endswith(".pt"):
+        pt_path = name_or_path
+    else:
+        pt_path = download_clip_checkpoint(name_or_path, cache_dir)
+    npz_cache = pt_path + ".surfd.npz"
+    if os.path.exists(npz_cache):
+        return load_clip_params(npz_cache)
+    variables = jax.tree.map(jnp.asarray, convert_torch_clip_file(pt_path))
+    save_clip_params(npz_cache, variables)
+    return _BoundClip(Clip()), variables
+
+
 def save_clip_params(npz_path: str, variables) -> None:
     from ..utils.checkpoint import save_params_npz
 

@@ -156,3 +156,18 @@ def test_packaged_vocab_matches_published_vocab():
     for text in ["a photo of a dress", "hello, world!! 123",
                  "an intricate LONG-sleeved denim jacket (vintage)"]:
         assert tok_pkg.encode(text) == tok_pub.encode(text)
+
+
+def test_clip_zoo_loader_errors():
+    """load_clip: unknown names fail fast; zoo fetches in an air-gapped
+    environment raise with placement instructions (reference clip.load
+    semantics, CLIP/clip/clip.py:94-142)."""
+    import pytest
+
+    from surfd_tpu.models.clip import CLIP_ZOO, download_clip_checkpoint
+
+    assert "ViT-B/32" in CLIP_ZOO
+    with pytest.raises(KeyError):
+        download_clip_checkpoint("ViT-Z/99")
+    with pytest.raises(RuntimeError, match="air-gapped|download"):
+        download_clip_checkpoint("ViT-B/32", cache_dir="/tmp/surfd_clip_zoo_test")

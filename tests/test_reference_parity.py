@@ -237,6 +237,15 @@ def test_clip_fp16_checkpoint_conversion(tmp_path):
     torch.save(ref.state_dict(), str(p16))
     tree16 = convert_torch_clip_file(str(p16))
 
+    # the one-stop loader takes the same .pt and memoizes an npz next to it
+    from surfd_tpu.models.clip import load_clip
+
+    _, loaded = load_clip(str(p16))
+    assert (tmp_path / "clip_fp16.pt.surfd.npz").exists()
+    _, reloaded = load_clip(str(p16))  # second load hits the npz cache
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(reloaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     leaves32 = jax.tree.leaves(tree32)
     leaves16 = jax.tree.leaves(tree16)
     assert len(leaves32) == len(leaves16)
