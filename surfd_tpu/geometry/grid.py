@@ -121,7 +121,9 @@ def _next_bucket(n: int) -> int:
     return three_q if three_q >= n else p
 
 
-def eval_in_chunks_async(fn, pts, chunk: int, unpack_bits: bool = False, mesh=None):
+def eval_in_chunks_async(
+    fn, pts, chunk: int, unpack_bits: bool = False, mesh=None, unpack_rows: int = 0
+):
     """Dispatch `fn` over (P, ...) points; return a finalize() → np.ndarray.
 
     The upload and the lax.map execution are dispatched asynchronously (JAX
@@ -129,9 +131,15 @@ def eval_in_chunks_async(fn, pts, chunk: int, unpack_bits: bool = False, mesh=No
     so host work (e.g. the native edge radix-sort of the face filter) can
     overlap the transfer + device compute. ctypes calls release the GIL, so
     the tunnel's background threads keep feeding the socket meanwhile.
+
+    unpack_rows=r: fn returns r INDEPENDENT packed bitmasks per chunk, shaped
+    (r, ceil(chunk/8)); finalize yields (r, P) uint8 (the two-tier filter
+    downloads its below + sure masks in one transfer this way).
     """
     P = pts.shape[0]
     if P == 0:
+        if unpack_rows:
+            return lambda: np.zeros((unpack_rows, 0), np.uint8)
         if unpack_bits:
             return lambda: np.zeros((0,), np.uint8)
         # derive the output shape abstractly from an input matching pts'
@@ -160,6 +168,10 @@ def eval_in_chunks_async(fn, pts, chunk: int, unpack_bits: bool = False, mesh=No
     out = _fused_map(fn, chunk, mesh)(slabs)
 
     def finalize():
+        if unpack_rows:
+            host = np.asarray(out)  # (n_chunks, r, ceil(chunk/8)) uint8
+            bits = np.unpackbits(host, axis=2)[:, :, :chunk]  # (K, r, chunk)
+            return np.moveaxis(bits, 1, 0).reshape(unpack_rows, -1)[:, :P]
         if unpack_bits:
             host = np.asarray(out)  # (n_chunks, ceil(chunk/8)) uint8
             bits = np.unpackbits(host.reshape(n_chunks, -1), axis=1)[:, :chunk]
@@ -172,7 +184,9 @@ def eval_in_chunks_async(fn, pts, chunk: int, unpack_bits: bool = False, mesh=No
     return finalize
 
 
-def eval_in_chunks(fn, pts, chunk: int, unpack_bits: bool = False, mesh=None) -> np.ndarray:
+def eval_in_chunks(
+    fn, pts, chunk: int, unpack_bits: bool = False, mesh=None, unpack_rows: int = 0
+) -> np.ndarray:
     """Evaluate a jitted device fn over (P, ...) points in fixed-size chunks.
 
     Transfer/dispatch discipline (the axon tunnel costs ~100-300 ms latency
@@ -189,7 +203,9 @@ def eval_in_chunks(fn, pts, chunk: int, unpack_bits: bool = False, mesh=None) ->
     mesh: optional jax.sharding.Mesh with a 'data' axis — the slab axis is
     sharded over it and devices evaluate their slabs concurrently.
     """
-    return eval_in_chunks_async(fn, pts, chunk, unpack_bits=unpack_bits, mesh=mesh)()
+    return eval_in_chunks_async(
+        fn, pts, chunk, unpack_bits=unpack_bits, mesh=mesh, unpack_rows=unpack_rows
+    )()
 
 
 def make_grad_fn(udf_fn: UdfFn) -> GradFn:

@@ -62,6 +62,7 @@ def make_udf_fn(
     (
         udf_base, below_base, grad_base, jits, udf_u16_base, grad_i8_base,
         below_packed_base, below_packed_q16_base, grad_i8_gid_base_for,
+        below2t_packed_q16_base, jit_bf16_err,
     ) = _decoder_eval_fns(decoder, float(max_dist))
     jit_udf, jit_below, jit_grad = jits
 
@@ -119,6 +120,32 @@ def make_udf_fn(
         f.stable = (below_packed_q16_base, bargs)
         return f
 
+    def two_tier_band():
+        """Calibrated bf16 error band for THIS decoder+latent: 2× the max
+        |folded-bf16 − f32| over a fixed 128k-point probe (the error scales
+        with weight conditioning — a universal constant is unsound; the
+        bench's 512×5 decoder measures 2.3e-3·max_dist, a weakly-fitted
+        64-wide one 4.2e-2·max_dist). Cached per bound latent."""
+        if "band" not in _thr_cache:
+            probe = jax.random.uniform(
+                jax.random.PRNGKey(0), (131072, 3), minval=-1.0, maxval=1.0
+            )
+            err = float(jit_bf16_err(args, probe))
+            _thr_cache["band"] = max(2.0 * err, 1e-4 * float(max_dist))
+        return _thr_cache["band"]
+
+    def below2t_packed_q16_bound(thr, qlo, qstep, band):
+        key = ("q16_2t", float(thr), float(qlo), float(qstep), float(band))
+        if key not in _thr_cache:
+            _thr_cache[key] = (
+                dvars, lat, jnp.float32(thr), jnp.float32(qlo),
+                jnp.float32(qstep), jnp.float32(band),
+            )
+        bargs = _thr_cache[key]
+        f = lambda p: below2t_packed_q16_base(bargs, p)
+        f.stable = (below2t_packed_q16_base, bargs)
+        return f
+
     # gradient eval addressed by flat grid ids: the int32 gid upload is 3x
     # smaller than f32 positions (h2d is throttled after the first d2h)
     def grad_i8_gid_bound(R, lo, spacing):
@@ -132,6 +159,8 @@ def make_udf_fn(
     udf_fn.below_bound = below_bound
     udf_fn.below_packed_bound = below_packed_bound
     udf_fn.below_packed_q16_bound = below_packed_q16_bound
+    udf_fn.below2t_packed_q16_bound = below2t_packed_q16_bound
+    udf_fn.two_tier_band = two_tier_band
     udf_fn.grad_i8_gid_bound = grad_i8_gid_bound
     return udf_fn
 
@@ -173,6 +202,32 @@ def _decoder_eval_fns(decoder: CbnDecoder, max_dist: float):
         pts = qpts.astype(jnp.float32) * qstep + qlo
         return jnp.packbits(below_base((variables, lat, thr), pts))
 
+    def below2t_packed_q16_base(args, qpts):
+        # Two-tier exact filter (VERDICT r2 #6): tier 1 evaluates the folded
+        # bf16 decoder (1.36× the f32 path, scripts/bench_decoder_eval.py);
+        # points within `band` of the threshold are UNSURE and re-checked in
+        # f32 by the caller — outside the band the bf16 decision matches the
+        # f32 decision whenever band bounds the bf16 error (band is
+        # CALIBRATED per decoder+latent, see make_udf_fn.two_tier_band).
+        # Returns (2, ceil(P/8)): packed below-mask and packed sure-mask.
+        from ..ops.decoder_kernel import fold_decoder, folded_udf
+
+        variables, lat, thr, qlo, qstep, band = args
+        pts = qpts.astype(jnp.float32) * qstep + qlo
+        folded = fold_decoder(variables, lat, max_dist)  # tiny: latent affines
+        u = folded_udf(folded, pts)  # bf16 matmuls, f32 result
+        return jnp.stack(
+            [jnp.packbits(u <= thr), jnp.packbits(jnp.abs(u - thr) > band)]
+        )
+
+    def bf16_err_base(args, pts):
+        # calibration probe: max |folded-bf16 − f32 apply| over a point batch
+        from ..ops.decoder_kernel import fold_decoder, folded_udf
+
+        variables, lat = args
+        folded = fold_decoder(variables, lat, max_dist)
+        return jnp.max(jnp.abs(folded_udf(folded, pts) - udf_base(args, pts)))
+
     def grad_base(args, pts):
         primal, vjp_fn = jax.vjp(lambda p: udf_base(args, p), pts)
         # cotangent derived from the primal so it carries the same sharding/
@@ -211,6 +266,7 @@ def _decoder_eval_fns(decoder: CbnDecoder, max_dist: float):
     return (
         udf_base, below_base, grad_base, jits, udf_u16_base, grad_i8_base,
         below_packed_base, below_packed_q16_base, grad_i8_gid_base_for,
+        below2t_packed_q16_base, jax.jit(bf16_err_base),
     )
 
 
@@ -274,6 +330,14 @@ class MeshExtractionConfig:
     # 1.5e-5 at range (-1,1) — <1% of the threshold); set False for the exact
     # f32 re-query the reference performs (meshudf.py:356-379)
     quantized_filter_points: bool = True
+    # two-tier face filter: folded-bf16 mask + f32 re-check of the points
+    # within the bf16 error band of the threshold — exact result, bf16
+    # throughput on ~all points (VERDICT r2 #6). Band: None = calibrated per
+    # decoder+latent (udf_fn.two_tier_band, 2× the max observed bf16 error on
+    # a 128k probe); a float overrides in udf units. When the band reaches
+    # the threshold the filter falls back to single-tier f32.
+    two_tier_filter: bool = True
+    two_tier_band: float | None = None
     # post cleanup (pymeshlab-equivalent, generate_uncond.py:117-122)
     final_laplacian_iters: int = 0
     min_component_faces: int = 0
@@ -374,6 +438,19 @@ def get_mesh_from_udf(
         packed_bound = getattr(udf_fn, "below_packed_bound", None)
         below_bound = getattr(udf_fn, "below_bound", None)
         pre = q16_bound is not None and cfg.quantized_filter_points
+        two_tier = (
+            pre and cfg.two_tier_filter
+            and getattr(udf_fn, "below2t_packed_q16_bound", None) is not None
+        )
+        if two_tier:
+            band = (
+                cfg.two_tier_band if cfg.two_tier_band is not None
+                else udf_fn.two_tier_band()
+            )
+            # a band at/above the threshold means bf16 can't decide anything
+            # reliably below it — single-tier f32 is strictly better then
+            if band >= threshold:
+                two_tier = False
         if pre:
             # uint16 coords (half the upload) + packed-bit mask downloads
             # (quantization half-step 1.5e-5 ≈ 0.8% of the 1/512 threshold).
@@ -382,21 +459,44 @@ def get_mesh_from_udf(
             # runs while the C++ prep radix-sorts the edges; prep also hands
             # back ea/eb so the cleanup skips its second sort
             # (finalize_mesh_pre).
-            bound = q16_bound(threshold, lo_, qstep)
+            if two_tier:
+                bound = udf_fn.below2t_packed_q16_bound(threshold, lo_, qstep, band)
+                rows = 2
+            else:
+                bound = q16_bound(threshold, lo_, qstep)
+                rows = 0
             qverts = np.clip(
                 np.rint((mesh.vertices - lo_) * (1.0 / qstep)), 0, 65535
             ).astype(np.uint16)
             verts_pending = eval_in_chunks_async(
-                bound, qverts, cfg.max_batch, unpack_bits=True, mesh=cfg.mesh
+                bound, qverts, cfg.max_batch, unpack_bits=not rows,
+                unpack_rows=rows, mesh=cfg.mesh,
             )
             qmids, einv, ea, eb = native.face_filter_prep_q16(
                 mesh.vertices, mesh.faces, lo_, 1.0 / qstep
             )
             times["ff_prep"] = round(time.perf_counter() - t0, 3)
             mids_pending = eval_in_chunks_async(
-                bound, qmids, cfg.max_batch, unpack_bits=True, mesh=cfg.mesh
+                bound, qmids, cfg.max_batch, unpack_bits=not rows,
+                unpack_rows=rows, mesh=cfg.mesh,
             )
-            ok = np.concatenate([verts_pending(), mids_pending()])
+            if two_tier:
+                # tier 1 (bf16): below + sure masks in one packed download
+                vb = verts_pending()
+                mb = mids_pending()
+                ok = np.concatenate([vb[0], mb[0]])
+                sure = np.concatenate([vb[1], mb[1]])
+                uns = np.nonzero(sure == 0)[0]
+                stats["ff_unsure"] = int(len(uns))
+                if len(uns):
+                    # tier 2 (f32, exact): only the band points re-query
+                    qall = np.concatenate([qverts, qmids])
+                    ok[uns] = eval_in_chunks(
+                        q16_bound(threshold, lo_, qstep), qall[uns],
+                        cfg.max_batch, unpack_bits=True, mesh=cfg.mesh,
+                    )
+            else:
+                ok = np.concatenate([verts_pending(), mids_pending()])
         else:
             pts, einv = native.face_filter_prep(mesh.vertices, mesh.faces)
             times["ff_prep"] = round(time.perf_counter() - t0, 3)

@@ -181,6 +181,18 @@ def test_pipeline_mesh_from_fitted_decoder():
     # learned decoder: loose tolerance, but it must be a sphere-ish shell
     assert abs(float(np.median(r)) - 0.6) < 0.1
 
+    # the two-tier bf16+f32 filter (default) must produce the exact same mesh
+    # as the pure-f32 filter (VERDICT r2 #6)
+    mesh_f32 = get_mesh_from_udf(
+        udf_fn,
+        cfg=MeshExtractionConfig(
+            resolution=64, max_batch=2**14, do_smooth_borders=False,
+            face_filter_mult=4.0, two_tier_filter=False,
+        ),
+    )
+    assert len(mesh_f32.faces) == len(mesh.faces)
+    np.testing.assert_allclose(mesh_f32.vertices, mesh.vertices, atol=1e-6)
+
 
 def test_watertight_pipeline_on_analytic_sphere():
     """Watertight path: signed extraction at iso 0.01 + largest component +
@@ -437,3 +449,51 @@ def test_cond_mask_prob_trains_null_row_then_cfg_samples():
     out = np.asarray(out)
     assert out.shape == (2, L, 1) and np.isfinite(out).all()
     assert np.abs(out).max() < 50  # sane magnitude, not a blown-up branch
+
+
+def test_two_tier_face_filter_mask_is_exact():
+    """VERDICT r2 #6: the bf16+f32-recheck filter must reproduce the f32
+    below-threshold mask bit-for-bit — bf16 decides only outside the error
+    band, the f32 tier decides inside it."""
+    from surfd_tpu.geometry.grid import eval_in_chunks
+    from surfd_tpu.models import CbnDecoder, CoordsEncoder
+    from surfd_tpu.pipelines import make_udf_fn
+
+    decoder = CbnDecoder(latent_dim=8, hidden_dim=64, num_hidden_layers=2)
+    ce = CoordsEncoder()
+    latent = jax.random.normal(jax.random.PRNGKey(0), (8,)) * 0.3
+    dvars = decoder.init(
+        jax.random.PRNGKey(1), ce.encode(jnp.zeros((1, 16, 3))), latent[None]
+    )
+    udf_fn = make_udf_fn(decoder, dvars, latent, max_dist=0.1)
+
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-1, 1, (4096, 3)).astype(np.float32)
+    lo, qstep = -1.0, 2.0 / 65535.0
+    qpts = np.clip(np.rint((pts - lo) / qstep), 0, 65535).astype(np.uint16)
+
+    u = eval_in_chunks(udf_fn, qpts.astype(np.float32) * qstep + lo, 1024)
+    thr = float(np.median(u))  # half the points below: the band is populated
+    band = udf_fn.two_tier_band()  # calibrated per decoder+latent
+    assert band < thr  # two-tier must actually engage at this threshold
+
+    ok_f32 = eval_in_chunks(
+        udf_fn.below_packed_q16_bound(thr, lo, qstep), qpts, 1024, unpack_bits=True
+    )
+    two = eval_in_chunks(
+        udf_fn.below2t_packed_q16_bound(thr, lo, qstep, band), qpts, 1024,
+        unpack_rows=2,
+    )
+    below16, sure = two[0], two[1]
+    uns = np.nonzero(sure == 0)[0]
+    ok = below16.copy()
+    if len(uns):
+        ok[uns] = eval_in_chunks(
+            udf_fn.below_packed_q16_bound(thr, lo, qstep), qpts[uns], 1024,
+            unpack_bits=True,
+        )
+    np.testing.assert_array_equal(ok, ok_f32)
+    # the threshold sits at the distribution's median — the band must catch
+    # a real re-check population, and bf16 alone must NOT have been exact
+    # everywhere it was unsure (otherwise the test proves nothing)
+    assert len(uns) > 0
