@@ -116,28 +116,41 @@ def main():
         state_cur.save(cur_path)
         logger.log_metrics({"curriculum_size": len(state_cur.training_idxes)}, int(state.step))
 
+    from ..training import GracefulShutdown
+
+    def save_all():
+        ck.save(global_step, state, force=True)
+        save_params_npz(
+            os.path.join(args.save_dir, "ae_encoder.npz"),
+            {"params": state.params["encoder"], "batch_stats": state.batch_stats["encoder"]},
+        )
+        save_params_npz(
+            os.path.join(args.save_dir, "ae_decoder.npz"),
+            {"params": state.params["decoder"], "batch_stats": state.batch_stats["decoder"]},
+        )
+
     global_step = int(state.step)
-    for epoch in range(args.num_epochs):
-        steps_per_epoch = max(len(state_cur.training_idxes) // args.batch_size, 1)
-        for _ in range(steps_per_epoch):
-            state, metrics = train_step(state, next(train_iter))
-            global_step = int(state.step)
-            if global_step % args.log_interval == 0:
-                logger.log_metrics(
-                    {k: float(v) for k, v in metrics.items()}, global_step
-                )
-        if args.curriculum and (epoch + 1) % args.val_every == 0:
-            run_val_and_grow()
-        if (epoch + 1) % 50 == 0 or epoch == args.num_epochs - 1:
-            ck.save(global_step, state, force=True)
-            save_params_npz(
-                os.path.join(args.save_dir, "ae_encoder.npz"),
-                {"params": state.params["encoder"], "batch_stats": state.batch_stats["encoder"]},
-            )
-            save_params_npz(
-                os.path.join(args.save_dir, "ae_decoder.npz"),
-                {"params": state.params["decoder"], "batch_stats": state.batch_stats["decoder"]},
-            )
+    with GracefulShutdown() as stop:
+        for epoch in range(args.num_epochs):
+            steps_per_epoch = max(len(state_cur.training_idxes) // args.batch_size, 1)
+            for _ in range(steps_per_epoch):
+                state, metrics = train_step(state, next(train_iter))
+                global_step = int(state.step)
+                if global_step % args.log_interval == 0:
+                    logger.log_metrics(
+                        {k: float(v) for k, v in metrics.items()}, global_step
+                    )
+                if stop.requested:
+                    break
+            if stop.requested:
+                # preemption (SIGTERM/SIGINT): persist a resumable state
+                print(f"preempted at step {global_step}; saving", file=sys.stderr)
+                save_all()
+                break
+            if args.curriculum and (epoch + 1) % args.val_every == 0:
+                run_val_and_grow()
+            if (epoch + 1) % 50 == 0 or epoch == args.num_epochs - 1:
+                save_all()
     ck.wait()
     print(f"done at step {global_step}", file=sys.stderr)
 

@@ -1,4 +1,11 @@
-from .common import TrainState, create_train_state, ema_update, global_norm, make_optimizer
+from .common import (
+    GracefulShutdown,
+    TrainState,
+    create_train_state,
+    ema_update,
+    global_norm,
+    make_optimizer,
+)
 from .diffusion_trainer import DiffusionTrainConfig, DiffusionTrainer, make_train_step
 from .ae_trainer import (
     AETrainConfig,

@@ -70,3 +70,37 @@ def create_train_state(
         batch_stats=batch_stats,
         ema_params=jax.tree.map(jnp.copy, params) if ema else None,
     )
+
+
+class GracefulShutdown:
+    """Preemption handling for training loops (SURVEY §5 failure-detection
+    row; the reference has none — a SIGTERM mid-epoch loses everything since
+    its last 50k-step save).
+
+    Registers SIGTERM/SIGINT handlers that set a flag; loops poll
+    `requested` once per step and checkpoint + exit cleanly. TPU preemption
+    notices arrive as SIGTERM with ~30 s of grace — one step + one Orbax
+    async save fit comfortably. Use as a context manager so the previous
+    handlers are restored (important under pytest).
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.signals = signals or (_signal.SIGTERM, _signal.SIGINT)
+        self.requested = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def __enter__(self):
+        for s in self.signals:
+            self._prev[s] = self._signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for s, h in self._prev.items():
+            self._signal.signal(s, h)
+        return False

@@ -184,30 +184,43 @@ class DiffusionTrainer:
         self._np_rng = np.random.default_rng(0)
 
     def run(self, num_steps: Optional[int] = None, rng=None):
+        from .common import GracefulShutdown
+
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         num_steps = num_steps or self.cfg.num_steps
         start = int(self.state.step)
-        for _ in range(start, num_steps):
-            batch = next(self.data_iter)
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_batch
+        with GracefulShutdown() as stop:
+            for _ in range(start, num_steps):
+                if stop.requested:
+                    # preemption: persist everything and leave resumably
+                    if self.checkpointer:
+                        self.checkpointer.save(int(self.state.step), self.state, force=True)
+                        self.checkpointer.wait()
+                    if self.logger:
+                        self.logger.log_metrics(
+                            {"preempted": 1.0}, int(self.state.step)
+                        )
+                    return self.state
+                batch = next(self.data_iter)
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
 
-                batch = shard_batch(self.mesh, batch)
-            B = jax.tree.leaves(batch)[0].shape[0]
-            t, weights = self.schedule_sampler.sample(B, self._np_rng)
-            rng, sub = jax.random.split(rng)
-            self.state, metrics = self._step_fn(
-                self.state, batch, jnp.asarray(t), jnp.asarray(weights), sub
-            )
-            self.schedule_sampler.update_with_all_losses(
-                t, np.asarray(metrics["per_example_loss"])
-            )
-            step = int(self.state.step)
-            if self.logger and step % self.cfg.log_interval == 0:
-                self.logger.log_metrics(
-                    {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0},
-                    step=step,
+                    batch = shard_batch(self.mesh, batch)
+                B = jax.tree.leaves(batch)[0].shape[0]
+                t, weights = self.schedule_sampler.sample(B, self._np_rng)
+                rng, sub = jax.random.split(rng)
+                self.state, metrics = self._step_fn(
+                    self.state, batch, jnp.asarray(t), jnp.asarray(weights), sub
                 )
-            if self.checkpointer and step % self.cfg.save_interval == 0:
-                self.checkpointer.save(step, self.state)
+                self.schedule_sampler.update_with_all_losses(
+                    t, np.asarray(metrics["per_example_loss"])
+                )
+                step = int(self.state.step)
+                if self.logger and step % self.cfg.log_interval == 0:
+                    self.logger.log_metrics(
+                        {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0},
+                        step=step,
+                    )
+                if self.checkpointer and step % self.cfg.save_interval == 0:
+                    self.checkpointer.save(step, self.state)
         return self.state

@@ -497,3 +497,42 @@ def test_two_tier_face_filter_mask_is_exact():
     # a real re-check population, and bf16 alone must NOT have been exact
     # everywhere it was unsure (otherwise the test proves nothing)
     assert len(uns) > 0
+
+
+def test_graceful_shutdown_checkpoints_on_sigterm(tmp_path):
+    """Preemption handling (SURVEY §5 failure-detection row): a SIGTERM during
+    DiffusionTrainer.run triggers a forced checkpoint and a clean, resumable
+    return instead of losing everything since the last periodic save."""
+    import os
+    import signal
+    import threading
+
+    from surfd_tpu.training import DiffusionTrainConfig, DiffusionTrainer
+    from surfd_tpu.utils.checkpoint import Checkpointer
+
+    mdm = _tiny_mdm()
+    L, B = 16, 4
+    params = mdm.init(
+        jax.random.PRNGKey(0), jnp.zeros((B, L, 1)), jnp.zeros((B,), jnp.int32)
+    )["params"]
+    sched = named_schedule("cosine", 10)
+    tx = make_optimizer(lr=1e-3)
+    state = create_train_state(params, tx)
+
+    def batches():
+        lat = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (B, L))) * 0.3
+        while True:
+            yield {"latents": lat}
+
+    ck = Checkpointer(str(tmp_path / "ckpt"))
+    cfg = DiffusionTrainConfig(latent_size=L, batch_size=B, save_interval=10**9)
+    trainer = DiffusionTrainer(cfg, mdm, sched, state, batches(), checkpointer=ck)
+
+    # deliver SIGTERM to ourselves shortly after the loop starts
+    threading.Timer(3.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+    final = trainer.run(num_steps=100_000)  # would run ~forever without the signal
+    step = int(final.step)
+    assert 0 < step < 100_000  # stopped early
+    assert ck.latest_step() == step  # forced save landed at the stop step
+    restored = ck.restore(jax.tree.map(np.asarray, final))
+    assert int(restored.step) == step
