@@ -29,8 +29,14 @@ class Checkpointer:
         )
 
     def save(self, step: int, state: Any, force: bool = False) -> bool:
-        if not force and step in (self.manager.all_steps() or ()):  # already on disk
-            return False
+        if step in (self.manager.all_steps() or ()):  # already on disk
+            if not force:
+                return False
+            # force=True re-saves over an existing step (e.g. after a
+            # partial/corrupt write); Orbax's own force never overwrites, so
+            # drop the old step first
+            self.manager.wait_until_finished()
+            self.manager.delete(step)
         return self.manager.save(
             step, args=ocp.args.StandardSave(state), force=force
         )

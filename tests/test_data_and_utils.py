@@ -228,3 +228,22 @@ def test_fixseed_deterministic():
     b = np.random.rand(3)
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
+def test_checkpointer_force_overwrites_existing_step(tmp_path):
+    """save(force=True) must re-save an existing step (partial/corrupt-write
+    recovery — advisor r2); without force it is a no-op."""
+    import numpy as np
+
+    from surfd_tpu.utils.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path / "ck"))
+    state = {"w": np.arange(4.0, dtype=np.float32)}
+    assert ck.save(7, state)
+    ck.wait()
+    assert ck.save(7, {"w": np.zeros(4, np.float32)}) is False
+    new = {"w": np.full(4, 9.0, np.float32)}
+    assert ck.save(7, new, force=True)
+    ck.wait()
+    out = ck.restore(state, step=7)
+    np.testing.assert_array_equal(out["w"], new["w"])
