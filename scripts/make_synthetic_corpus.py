@@ -92,6 +92,7 @@ def main():
 
     rng = np.random.default_rng(7)
     n_test = max(1, int(args.n * args.test_frac))
+    by_kind = {name: [] for name, _ in MAKERS}
     for i in range(args.n):
         split = "test" if i >= args.n - n_test else "train"
         os.makedirs(os.path.join(args.out, split), exist_ok=True)
@@ -99,11 +100,19 @@ def main():
         t0 = time.perf_counter()
         mesh = normalize_mesh(maker(rng, args.res), mode="unit")
         payload = prepare_udf_sample(mesh, cfg)
-        out = os.path.join(args.out, split, f"{kind}_{i:03d}.npz")
+        fid = f"{kind}_{i:03d}"
+        by_kind[kind].append(fid)
+        out = os.path.join(args.out, split, f"{fid}.npz")
         np.savez(out, **payload)
-        print(f"[{i + 1}/{args.n}] {split}/{kind}_{i:03d}: "
+        print(f"[{i + 1}/{args.n}] {split}/{fid}: "
               f"{len(mesh.faces)} faces, {len(payload['coords'])} queries, "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+    # category-conditioning map, garment_type_list.txt format
+    # (data_loaders/dataset.py:129-137: `<class_name> <id> <id> ...` per line)
+    with open(os.path.join(args.out, "category_list.txt"), "w") as f:
+        for name, ids in by_kind.items():
+            f.write(" ".join([name] + ids) + "\n")
 
 
 if __name__ == "__main__":

@@ -45,6 +45,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
         "--sigma_small", action=argparse.BooleanOptionalAction, default=True
     )
     ap.add_argument("--guidance_param", type=float, default=1.0)
+    # 0 = auto: the --category_list length when one is given, else the
+    # reference default 9 (parser_util.py) — overridable so category models
+    # trained on other class sets round-trip
+    ap.add_argument("--num_actions", type=int, default=0)
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--output_dir", default="outputs")
     ap.add_argument("--watertight", action="store_true")
@@ -80,7 +84,8 @@ def load_denoiser(args, cond_mode: str):
     from ..models import MDM
 
     mdm = MDM(cond_mode=cond_mode, clip_dim=512,
-              model_channels=getattr(args, "model_channels", 224))
+              model_channels=getattr(args, "model_channels", 224),
+              num_actions=getattr(args, "num_actions", 0) or 9)
     L = args.latent_size
     x = jnp.zeros((1, L, 1))
     t = jnp.zeros((1,), jnp.int32)

@@ -19,11 +19,22 @@ def main():
     ap = base_parser(__doc__)
     ap.add_argument("--category", type=str, default="dress",
                     help=f"one of {GARMENT_CLASSES} or an integer id")
+    ap.add_argument("--category_list", default="",
+                    help="garment_type_list.txt-format class map; overrides "
+                    "the built-in garment classes (and --num_actions)")
     args = ap.parse_args()
+    classes = GARMENT_CLASSES
+    if args.category_list:
+        from ..data.manifests import load_garment_categories
+
+        _, cat2name = load_garment_categories(args.category_list)
+        classes = tuple(cat2name[i] for i in sorted(cat2name))
+        if not args.num_actions:
+            args.num_actions = len(classes)
     if args.category.isdigit():
         cat = int(args.category)
     else:
-        cat = GARMENT_CLASSES.index(args.category)
+        cat = classes.index(args.category)
     action = jnp.full((args.num_samples,), cat, jnp.int32)
     run_generation(args, cond_mode="category", action=action, tag=f"cat{cat}")
 

@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--captions_csv", default="")
+    # category conditioning: class map file in the garment_type_list.txt
+    # format (`<name> <id> <id> ...` per line, data_loaders/dataset.py:129-137);
+    # num_actions 0 = auto (list length, else the reference default 9)
+    ap.add_argument("--category_list", default="")
+    ap.add_argument("--num_actions", type=int, default=0)
     ap.add_argument("--overwrite", action="store_true")
     args = ap.parse_args()
 
@@ -60,6 +65,16 @@ def main():
         # save_dir guard (reference train_diffcloth.py:122-123)
         raise SystemExit(f"save_dir {args.save_dir} exists; pass --resume or --overwrite")
     os.makedirs(args.save_dir, exist_ok=True)
+
+    category_map = None
+    if args.category_list:
+        from ..data.manifests import load_garment_categories
+
+        category_map, cat2name = load_garment_categories(args.category_list)
+        if not args.num_actions:
+            args.num_actions = len(cat2name)
+    if not args.num_actions:
+        args.num_actions = 9
     with open(os.path.join(args.save_dir, "args.json"), "w") as f:
         json.dump(vars(args), f, indent=2)  # args dump parity (:126-130)
 
@@ -82,6 +97,7 @@ def main():
     dataset = DiffusionDataset(
         args.data_root, "train", cond_mode=args.cond_mode,
         captions_csv=args.captions_csv or None,
+        category_map=category_map,
     )
     data_iter = diffusion_batch_iterator(
         dataset, args.batch_size, args.num_points_pcd, np_rng
@@ -98,7 +114,7 @@ def main():
         print("WARNING: no AE encoder weights; using random encoder", file=sys.stderr)
 
     mdm = MDM(cond_mode=args.cond_mode, model_channels=args.model_channels,
-              dropout=args.dropout)
+              dropout=args.dropout, num_actions=args.num_actions)
     x0 = jnp.zeros((args.batch_size, args.latent_size, 1))
     t0 = jnp.zeros((args.batch_size,), jnp.int32)
     kw = {}
