@@ -46,6 +46,22 @@ def test_build_schedule_honors_flags():
     assert not args.sigma_small is False  # default True (reference parity)
 
 
+def test_category_list_resolution(tmp_path):
+    """--category_list format (full ids, as scripts/make_synthetic_corpus.py
+    emits) resolves class indices and the 0=auto num_actions default."""
+    from surfd_tpu.cli._common import base_parser
+    from surfd_tpu.data.manifests import load_garment_categories
+
+    p = tmp_path / "category_list.txt"
+    p.write_text("sphere sphere_000 sphere_003\ntorus torus_001\nsheet sheet_002\n")
+    id2cat, cat2name = load_garment_categories(str(p))
+    assert id2cat == {"sphere_000": 0, "sphere_003": 0, "torus_001": 1, "sheet_002": 2}
+    assert [cat2name[i] for i in sorted(cat2name)] == ["sphere", "torus", "sheet"]
+    # base_parser: 0 = auto sentinel so a 3-class list round-trips through
+    # generate CLIs without clobbering by the reference default 9
+    assert base_parser("t").parse_args([]).num_actions == 0
+
+
 @pytest.mark.slow
 def test_generate_uncond_smoke(tmp_path):
     r = _run([
