@@ -45,6 +45,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
         "--sigma_small", action=argparse.BooleanOptionalAction, default=True
     )
     ap.add_argument("--guidance_param", type=float, default=1.0)
+    # reference generate scripts all pass clip_denoised=False
+    # (generate_uncond.py:77) — latents are unbounded
+    ap.add_argument(
+        "--clip_denoised", action=argparse.BooleanOptionalAction, default=False
+    )
     # 0 = auto: the --category_list length when one is given, else the
     # reference default 9 (parser_util.py) — overridable so category models
     # trained on other class sets round-trip
@@ -169,6 +174,7 @@ def run_generation(args, cond_mode: str, context=None, action=None, tag: str = "
     latents = sample_latents(
         sched, model_fn, args.num_samples, args.latent_size, rng,
         sampler=args.sampler, var_type=var_type,
+        clip_denoised=getattr(args, "clip_denoised", False),
     )
     latents.block_until_ready()
     print(f"sampled {args.num_samples} latents in {time.perf_counter()-t0:.2f}s", file=sys.stderr)

@@ -608,11 +608,16 @@ def sample_latents(
     latent_len: int,
     rng,
     sampler: str = "ddpm",
-    clip_denoised: bool = True,
+    clip_denoised: bool = False,
     var_type=None,
 ) -> jnp.ndarray:
     """Diffusion-sample (B, L) latent codes (reference p_sample_loop call,
     sample/generate_uncond.py:72-85; shape (B, 1, L) there, (B, L, 1) here).
+
+    clip_denoised defaults False like every reference generate script
+    (generate_uncond.py:77, generate_cat.py:88) — DGCNN latents are not
+    bounded to [-1,1], so the guided-diffusion library default of True would
+    truncate trained latent codes.
 
     var_type: diffusion.VarType for the DDPM posterior variance (default
     FIXED_SMALL — the reference's sigma_small=True)."""

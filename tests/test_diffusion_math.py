@@ -201,3 +201,17 @@ def test_jit_p_sample_loop():
     f = jax.jit(lambda r: p_sample_loop(sched, _zero_model, (2, 1, 8), r))
     out = f(jax.random.PRNGKey(0))
     assert out.shape == (2, 1, 8)
+
+
+def test_sample_latents_unclipped_by_default():
+    """Reference generate scripts all sample with clip_denoised=False
+    (generate_uncond.py:77): DGCNN latents are unbounded, so the library
+    default of True would truncate x0-hat to [-1,1]. A constant x0=3 model
+    must come out near 3, not 1."""
+    from surfd_tpu.pipelines import sample_latents
+
+    sched = named_schedule("cosine", 20)
+    model = lambda x, tt: jnp.full_like(x, 3.0)
+    out = sample_latents(sched, model, 2, 8, jax.random.PRNGKey(1))
+    assert out.shape == (2, 8)
+    np.testing.assert_allclose(np.asarray(out), 3.0, atol=0.2)
