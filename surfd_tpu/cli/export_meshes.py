@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--watertight", action="store_true")
     ap.add_argument("--chamfer_points", type=int, default=4096)
     ap.add_argument("--limit", type=int, default=0)
+    # the reference export harness runs no component cleanup, but its sample
+    # scripts filter floaters (generate_uncond.py:117-122 mincomponentsize
+    # 2500); exposed here because weakly-fitted decoders grow spurious shells
+    ap.add_argument("--min_component_faces", type=int, default=0)
+    # threshold multiplier for the face filter (th_dist = mult/N,
+    # meshudf.py:371) — raise for decoders whose UDF floor sits above a voxel
+    ap.add_argument("--face_filter_mult", type=float, default=1.0)
     args = ap.parse_args()
 
     from ..data import UdfDataset
@@ -61,9 +68,15 @@ def main():
     )
     dec_vars = load_params_npz(os.path.join(args.ae_dir, "ae_decoder.npz"), dec_vars)
 
+    from ..geometry.metrics import f_score, hausdorff_distance
+
     os.makedirs(args.output_dir, exist_ok=True)
-    cfg = MeshExtractionConfig(resolution=args.resolution)
-    chamfers = []
+    cfg = MeshExtractionConfig(
+        resolution=args.resolution,
+        min_component_faces=args.min_component_faces,
+        face_filter_mult=args.face_filter_mult,
+    )
+    rows = []
     items = range(len(dataset)) if not args.limit else range(min(args.limit, len(dataset)))
     for i in items:
         item = dataset[i]
@@ -79,13 +92,41 @@ def main():
         if len(mesh.faces):
             recon = sample_points_on_mesh(mesh, args.chamfer_points, rng)
             gt = random_point_sampling(item["pcd"], args.chamfer_points, rng)
-            cd = chamfer_distance(recon, gt)
-            chamfers.append(cd)
-            print(f"[{i}] {item['id']}: {len(mesh.faces)} faces, chamfer {cd:.6f}", file=sys.stderr)
+            row = {
+                "id": item["id"],
+                "faces": int(len(mesh.faces)),
+                "chamfer": chamfer_distance(recon, gt),
+                "hausdorff": hausdorff_distance(recon, gt),
+                "f_score@0.01": f_score(recon, gt, threshold=0.01),
+            }
+            rows.append(row)
+            print(
+                f"[{i}] {item['id']}: {row['faces']} faces, "
+                f"chamfer {row['chamfer']:.6f}, f@0.01 {row['f_score@0.01']:.3f}",
+                file=sys.stderr,
+            )
         else:
+            rows.append({"id": item["id"], "faces": 0})
             print(f"[{i}] {item['id']}: EMPTY mesh", file=sys.stderr)
-    if chamfers:
-        print(f"mean chamfer: {np.mean(chamfers):.6f}", file=sys.stderr)
+    full = [r for r in rows if r["faces"]]
+    summary = {
+        "n": len(rows),
+        "n_empty": len(rows) - len(full),
+        "mean_chamfer": float(np.mean([r["chamfer"] for r in full])) if full else None,
+        "mean_hausdorff": float(np.mean([r["hausdorff"] for r in full])) if full else None,
+        "mean_f_score@0.01": float(np.mean([r["f_score@0.01"] for r in full])) if full else None,
+        "per_item": rows,
+    }
+    import json
+
+    with open(os.path.join(args.output_dir, "recon_metrics.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    if full:
+        print(
+            f"mean chamfer: {summary['mean_chamfer']:.6f}  "
+            f"mean f@0.01: {summary['mean_f_score@0.01']:.3f}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
