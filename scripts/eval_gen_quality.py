@@ -56,8 +56,7 @@ def main():
 
     from surfd_tpu.cli._common import build_schedule, load_decoder, load_denoiser
     from surfd_tpu.data.manifests import load_garment_categories
-    from surfd_tpu.data.preprocess import sample_points_on_mesh
-    from surfd_tpu.geometry import chamfer_distance, read_obj, write_obj
+    from surfd_tpu.geometry import write_obj
     from surfd_tpu.geometry.marching import Mesh
     from surfd_tpu.models.mdm import make_cfg_model_fn
     from surfd_tpu.pipelines import (
@@ -77,21 +76,20 @@ def main():
     args.random_init = False
     args.decoder_hidden, args.decoder_layers = 512, 5
 
-    # ground-truth surface samples per class, from the train split's npz pcds
-    # (the corpus stores the exact surface pcd used for UDF supervision)
+    # ground-truth meshes per class from the train split (exact BVH
+    # surface-to-surface metrics, geometry.metrics.mesh_surface_metrics)
     from surfd_tpu.data import UdfDataset
 
     train = UdfDataset(args.data_root, "train")
-    gt_by_class: dict[int, list[np.ndarray]] = {i: [] for i in range(len(classes))}
+    gt_by_class: dict[int, list] = {i: [] for i in range(len(classes))}
     gt_ids: dict[int, list[str]] = {i: [] for i in range(len(classes))}
     for i in range(len(train)):
-        item = train[i]
-        c = id2cat.get(item["id"], None)
+        fid = train.item_id(i)
+        c = id2cat.get(fid, None)
         if c is None:
             continue
-        sel = rng.choice(len(item["pcd"]), size=args.chamfer_points, replace=False)
-        gt_by_class[c].append(np.asarray(item["pcd"])[sel].astype(np.float32))
-        gt_ids[c].append(item["id"])
+        gt_by_class[c].append(train.mesh(i))
+        gt_ids[c].append(fid)
 
     sched = build_schedule(args)
     mdm, variables = load_denoiser(args, "category")
@@ -127,8 +125,12 @@ def main():
                 dists.append((np.inf, -1))
                 continue
             write_obj(path, Mesh(np.asarray(mesh.vertices), np.asarray(mesh.faces)))
-            pts = sample_points_on_mesh(mesh, args.chamfer_points, rng)
-            ds = [chamfer_distance(pts, g) for g in gt_by_class[ci]]
+            from surfd_tpu.geometry.metrics import mesh_surface_metrics
+
+            ds = [
+                mesh_surface_metrics(mesh, g, n=args.chamfer_points, rng=rng)["chamfer"]
+                for g in gt_by_class[ci]
+            ]
             j = int(np.argmin(ds))
             dists.append((float(ds[j]), j))
             print(

@@ -68,7 +68,7 @@ def main():
     )
     dec_vars = load_params_npz(os.path.join(args.ae_dir, "ae_decoder.npz"), dec_vars)
 
-    from ..geometry.metrics import f_score, hausdorff_distance
+    from ..geometry.metrics import f_score, hausdorff_distance, mesh_surface_metrics
 
     os.makedirs(args.output_dir, exist_ok=True)
     cfg = MeshExtractionConfig(
@@ -90,15 +90,27 @@ def main():
         path = os.path.join(args.output_dir, f"{item['id']}.obj")
         write_obj(path, mesh)
         if len(mesh.faces):
-            recon = sample_points_on_mesh(mesh, args.chamfer_points, rng)
-            gt = random_point_sampling(item["pcd"], args.chamfer_points, rng)
-            row = {
-                "id": item["id"],
-                "faces": int(len(mesh.faces)),
-                "chamfer": chamfer_distance(recon, gt),
-                "hausdorff": hausdorff_distance(recon, gt),
-                "f_score@0.01": f_score(recon, gt, threshold=0.01),
-            }
+            gt_mesh = dataset.mesh(i)
+            if gt_mesh is not None:
+                # exact surface-to-surface metrics via the C++ BVH — no
+                # target-side sampling noise (metrics.mesh_surface_metrics)
+                row = {
+                    "id": item["id"],
+                    "faces": int(len(mesh.faces)),
+                    **mesh_surface_metrics(
+                        mesh, gt_mesh, n=args.chamfer_points, rng=rng
+                    ),
+                }
+            else:
+                recon = sample_points_on_mesh(mesh, args.chamfer_points, rng)
+                gt = random_point_sampling(item["pcd"], args.chamfer_points, rng)
+                row = {
+                    "id": item["id"],
+                    "faces": int(len(mesh.faces)),
+                    "chamfer": chamfer_distance(recon, gt),
+                    "hausdorff": hausdorff_distance(recon, gt),
+                    "f_score@0.01": f_score(recon, gt, threshold=0.01),
+                }
             rows.append(row)
             print(
                 f"[{i}] {item['id']}: {row['faces']} faces, "

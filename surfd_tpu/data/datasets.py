@@ -63,6 +63,19 @@ class UdfDataset:
     def item_id(self, i: int) -> str:
         return self.files[i].stem
 
+    def mesh(self, i: int):
+        """Ground-truth mesh when the npz stores one (preprocess saves
+        vertices/triangles, preprocess_udfs.py:147-155), else None."""
+        from ..geometry.marching import Mesh
+
+        with np.load(self.files[i], mmap_mode="r" if self.mmap else None) as z:
+            if "vertices" not in z or "triangles" not in z:
+                return None
+            return Mesh(
+                np.asarray(z["vertices"], np.float32),
+                np.asarray(z["triangles"], np.int32),
+            )
+
     def __getitem__(self, i: int) -> dict:
         with np.load(self.files[i], mmap_mode="r" if self.mmap else None) as z:
             return {

@@ -46,3 +46,54 @@ def f_score(a: np.ndarray, b: np.ndarray, threshold: float = 0.01, chunk: int = 
     if precision + recall == 0:
         return 0.0
     return 2 * precision * recall / (precision + recall)
+
+
+def point_mesh_distances(points: np.ndarray, mesh) -> np.ndarray:
+    """Exact Euclidean distance from each point to a triangle mesh's surface,
+    via the C++ closest-point BVH (native/closest_point.cpp — the same
+    machinery that replaces open3d RaycastingScene in preprocessing).
+
+    Sampling-free on the target side: comparing two 4096-point samplings of a
+    unit-scale surface has ~0.025 inter-sample spacing, which swamps e.g. an
+    f-score@0.01 — point→surface distances do not.
+    """
+    from .. import native
+
+    d, _, _ = native.closest_points(
+        np.ascontiguousarray(mesh.vertices, np.float32),
+        np.ascontiguousarray(mesh.faces, np.int32),
+        np.ascontiguousarray(points, np.float32),
+    )
+    return np.asarray(d, np.float64)
+
+
+def mesh_surface_metrics(
+    recon_mesh,
+    gt_mesh,
+    n: int = 16384,
+    threshold: float = 0.01,
+    rng: "np.random.Generator | None" = None,
+) -> dict:
+    """Symmetric surface-to-surface metrics between two meshes.
+
+    Samples n area-weighted points on each mesh and measures EXACT distance to
+    the other mesh (BVH): Chamfer-L2 (mean-squared, summed both ways, the
+    convention of the Surf-D paper's tables), Hausdorff, and f-score@threshold.
+    """
+    from ..data.preprocess import sample_points_on_mesh
+
+    rng = rng or np.random.default_rng(0)
+    pa = sample_points_on_mesh(recon_mesh, n, rng)
+    pb = sample_points_on_mesh(gt_mesh, n, rng)
+    da = point_mesh_distances(pa, gt_mesh)  # recon → gt surface
+    db = point_mesh_distances(pb, recon_mesh)  # gt → recon surface
+    precision = float((da < threshold).mean())
+    recall = float((db < threshold).mean())
+    f = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "chamfer": float((da**2).mean() + (db**2).mean()),
+        "hausdorff": float(max(da.max(), db.max())),
+        f"f_score@{threshold:g}": f,
+        "precision": precision,
+        "recall": recall,
+    }

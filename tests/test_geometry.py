@@ -526,3 +526,28 @@ def test_native_finalize_parity_full_chain():
         return set(map(tuple, canon.reshape(len(faces), 9)))
 
     assert face_set(m_np.vertices, m_np.faces) == face_set(v, f)
+
+
+def test_mesh_surface_metrics_exact():
+    """Point-to-mesh metrics are sampling-free on the target side: identical
+    meshes score ~0 chamfer / f=1, and a known translation shows up as its
+    squared distance (both directions), unlike point-set chamfer whose floor
+    is the inter-sample spacing."""
+    import numpy as np
+    from surfd_tpu.geometry.marching import Mesh
+    from surfd_tpu.geometry.metrics import mesh_surface_metrics, point_mesh_distances
+
+    # unit right triangle pair forming a square in z=0
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    m = Mesh(v, f)
+    r = mesh_surface_metrics(m, m, n=512)
+    assert r["chamfer"] < 1e-10
+    assert r["f_score@0.01"] == 1.0
+
+    m2 = Mesh(v + np.array([0, 0, 0.05], np.float32), f)
+    r2 = mesh_surface_metrics(m, m2, n=512)
+    np.testing.assert_allclose(r2["chamfer"], 2 * 0.05**2, rtol=1e-5)
+    assert r2["f_score@0.01"] == 0.0
+    d = point_mesh_distances(np.array([[0.5, 0.5, 0.3]], np.float32), m)
+    np.testing.assert_allclose(d, [0.3], rtol=1e-6)
