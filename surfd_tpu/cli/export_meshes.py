@@ -121,12 +121,23 @@ def main():
             rows.append({"id": item["id"], "faces": 0})
             print(f"[{i}] {item['id']}: EMPTY mesh", file=sys.stderr)
     full = [r for r in rows if r["faces"]]
+    by_class: dict = {}
+    for r in full:
+        by_class.setdefault(r["id"].split("_")[0].split("-")[0], []).append(r)
     summary = {
         "n": len(rows),
         "n_empty": len(rows) - len(full),
         "mean_chamfer": float(np.mean([r["chamfer"] for r in full])) if full else None,
         "mean_hausdorff": float(np.mean([r["hausdorff"] for r in full])) if full else None,
         "mean_f_score@0.01": float(np.mean([r["f_score@0.01"] for r in full])) if full else None,
+        "per_class": {
+            k: {
+                "n": len(v),
+                "chamfer": float(np.mean([r["chamfer"] for r in v])),
+                "f_score@0.01": float(np.mean([r["f_score@0.01"] for r in v])),
+            }
+            for k, v in by_class.items()
+        },
         "per_item": rows,
     }
     import json
