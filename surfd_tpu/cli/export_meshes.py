@@ -20,6 +20,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="", help="shipped dataset preset "
+                    "(deepfashion3d|pix3d|text2shape) or a JSON path")
     ap.add_argument("--data_root", required=True)
     ap.add_argument("--split", default="test")
     ap.add_argument("--ae_dir", required=True)
@@ -37,6 +39,9 @@ def main():
     # threshold multiplier for the face filter (th_dist = mult/N,
     # meshudf.py:371) — raise for decoders whose UDF floor sits above a voxel
     ap.add_argument("--face_filter_mult", type=float, default=1.0)
+    from ..utils.config import apply_preset_defaults
+
+    apply_preset_defaults(ap)
     args = ap.parse_args()
 
     from ..data import UdfDataset

@@ -22,6 +22,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="", help="shipped dataset preset "
+                    "(deepfashion3d|pix3d|text2shape) or a JSON path; "
+                    "explicit flags override preset values")
     ap.add_argument("--data_root", required=True)
     ap.add_argument("--save_dir", required=True)
     ap.add_argument("--latent_size", type=int, default=32)
@@ -39,6 +42,9 @@ def main():
     ap.add_argument("--val_every", type=int, default=64)
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--log_interval", type=int, default=10)
+    from ..utils.config import apply_preset_defaults
+
+    apply_preset_defaults(ap)
     args = ap.parse_args()
 
     from ..data import CurriculumState, SequenceSamplerTrain, UdfDataset, ae_batch_iterator

@@ -9,8 +9,10 @@ reproduce that round trip.
 
 from __future__ import annotations
 
+import argparse
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Tuple
 
@@ -114,6 +116,50 @@ def save_config(cfg: SurfDConfig, path: str) -> None:
 def load_config(path: str) -> SurfDConfig:
     with open(path) as f:
         return _from_dict(SurfDConfig, json.load(f))
+
+
+_PRESET_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets", "configs"
+)
+
+
+def available_presets() -> list[str]:
+    if not os.path.isdir(_PRESET_DIR):
+        return []
+    return sorted(p[:-5] for p in os.listdir(_PRESET_DIR) if p.endswith(".json"))
+
+
+def load_preset(name_or_path: str) -> dict:
+    """Shipped dataset preset (`deepfashion3d` | `pix3d` | `text2shape`) or a
+    JSON file path → flat dict of hyperparameters.
+
+    Replaces the reference's hesiod YAML presets
+    (/root/reference/AutoEncoder/cfg/{deepfashion3d,pix3d,shapenet}/*.yaml):
+    same values, but applied as argparse DEFAULTS so explicit CLI flags win.
+    """
+    path = name_or_path
+    if not os.path.exists(path):
+        path = os.path.join(_PRESET_DIR, f"{name_or_path}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no preset '{name_or_path}' (shipped: {', '.join(available_presets())})"
+            )
+    with open(path) as f:
+        return json.load(f)
+
+
+def apply_preset_defaults(parser, argv=None) -> None:
+    """Two-pass --config handling: if argv carries `--config NAME`, load the
+    preset and install the keys the parser knows as its new defaults (explicit
+    flags still override — argparse resolves them after defaults)."""
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default="")
+    known, _ = pre.parse_known_args(argv)
+    if not known.config:
+        return
+    preset = load_preset(known.config)
+    dests = {a.dest for a in parser._actions}
+    parser.set_defaults(**{k: v for k, v in preset.items() if k in dests})
 
 
 def apply_overrides(cfg, overrides: list[str]):

@@ -187,6 +187,43 @@ def test_config_roundtrip_and_overrides(tmp_path):
     assert cfg2.diffusion.noise_schedule == "linear"
 
 
+def test_dataset_presets_match_reference_values():
+    # the shipped presets mirror AutoEncoder/cfg/{deepfashion3d,pix3d,shapenet}
+    from surfd_tpu.utils.config import available_presets, load_preset
+
+    assert available_presets() == ["deepfashion3d", "pix3d", "text2shape"]
+    df = load_preset("deepfashion3d")
+    assert (df["latent_size"], df["batch_size"], df["num_epochs"]) == (32, 8, 6000)
+    assert df["watertight"] is False and df["resolution"] == 512
+    px = load_preset("pix3d")
+    assert (px["latent_size"], px["batch_size"], px["num_epochs"]) == (64, 2, 20000)
+    t2 = load_preset("text2shape")
+    assert (t2["latent_size"], t2["batch_size"], t2["num_epochs"]) == (64, 6, 10000)
+    assert t2["watertight"] is True
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_preset("nonexistent")
+
+
+def test_preset_defaults_yield_to_explicit_flags():
+    import argparse
+
+    from surfd_tpu.utils.config import apply_preset_defaults
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="")
+    ap.add_argument("--latent_size", type=int, default=32)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--watertight", action="store_true")
+    argv = ["--config", "text2shape", "--batch_size", "3"]
+    apply_preset_defaults(ap, argv)
+    args = ap.parse_args(argv)
+    assert args.latent_size == 64  # preset value
+    assert args.batch_size == 3  # explicit flag wins over preset
+    assert args.watertight is True  # preset overrides store_true default
+
+
 def test_logger_mean_and_sinks(tmp_path, capsys):
     lg = Logger(str(tmp_path), formats=("stdout", "jsonl", "csv"))
     lg.logkv_mean("loss", 1.0)
