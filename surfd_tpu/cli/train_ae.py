@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--num_points_pcd", type=int, default=10_000)
     ap.add_argument("--num_points_forward", type=int, default=20_000)
     ap.add_argument("--max_dist", type=float, default=0.1)
+    ap.add_argument("--augment_rotations", action="store_true",
+                    help="random SO(3) rotation per item (pcd+queries+grads "
+                    "jointly; UDF labels are invariant)")
     ap.add_argument("--curriculum", action="store_true")
     ap.add_argument("--curriculum_init", type=int, default=100)
     ap.add_argument("--curriculum_add", type=int, default=100)
@@ -99,6 +102,7 @@ def main():
     train_iter = ae_batch_iterator(
         dataset, lambda: list(sampler), args.batch_size,
         args.num_points_pcd, args.num_points_forward, np_rng, args.max_dist,
+        augment_rotations=args.augment_rotations,
     )
 
     def run_val_and_grow():

@@ -20,6 +20,21 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 
+def random_rotation_matrix(rng: np.random.Generator) -> np.ndarray:
+    """Uniform random rotation in SO(3) (Shoemake quaternion method)."""
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        dtype=np.float32,
+    )
+
+
 def random_point_sampling(
     points: np.ndarray, n: int, rng: np.random.Generator, inds: np.ndarray | None = None
 ) -> np.ndarray:
@@ -147,9 +162,18 @@ def ae_batch_iterator(
     num_points_forward: int,
     rng: np.random.Generator,
     max_dist: float = 0.1,
+    augment_rotations: bool = False,
 ):
     """Endless AE batches: per item subsample pcd + query points
-    (trainers/encdec.py:139-149)."""
+    (trainers/encdec.py:139-149).
+
+    `augment_rotations` applies a fresh uniform SO(3) rotation per item to the
+    point cloud, the query coords and the gradient vectors jointly — UDF
+    values are rotation-invariant so the labels are exact under the transform.
+    The reference trains pose-normalized garments at dataset scale and ships
+    no augmentation; with small corpora the encoder otherwise never sees the
+    orientation manifold (pose is the one factor mesh normalization does not
+    quotient out)."""
     from .curriculum import batched
 
     while True:
@@ -166,6 +190,11 @@ def ae_batch_iterator(
                 udfs.append(sel[:, 3])
                 grads.append(sel[:, 4:])
                 idxes.append(i)
+                if augment_rotations:
+                    rt = random_rotation_matrix(rng).T
+                    pcds[-1] = pcds[-1] @ rt
+                    coords[-1] = coords[-1] @ rt
+                    grads[-1] = grads[-1] @ rt
             yield {
                 "pcd": np.stack(pcds),
                 "coords": np.stack(coords),

@@ -101,6 +101,40 @@ def test_prepare_udf_sample_and_datasets(tmp_path):
     assert b["action"].shape == (2,)
 
 
+def test_ae_iterator_rotation_augmentation(tmp_path):
+    from surfd_tpu.data.datasets import random_rotation_matrix
+
+    # uniform SO(3): orthonormal, det +1
+    for s in range(4):
+        r = random_rotation_matrix(np.random.default_rng(s))
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+        assert np.linalg.det(r) == pytest.approx(1.0, abs=1e-6)
+
+    mesh = _sphere_mesh()
+    cfg = PreprocessConfig(num_points_pcd=1000, counts=(500, 400, 50), num_uniform=50)
+    payload = prepare_udf_sample(mesh, cfg)
+    d = tmp_path / "train"
+    d.mkdir()
+    np.savez(d / "a.npz", **payload)
+    ds = UdfDataset(str(tmp_path), "train")
+
+    kw = dict(batch_size=1, num_points_pcd=128, num_points_forward=256)
+    plain = next(ae_batch_iterator(ds, lambda: [0], rng=np.random.default_rng(3), **kw))
+    aug = next(ae_batch_iterator(ds, lambda: [0], rng=np.random.default_rng(3),
+                                 augment_rotations=True, **kw))
+    # same subsample indices (rotation drawn after sampling), so labels match
+    # exactly: UDF is rotation-invariant
+    np.testing.assert_allclose(aug["udf"], plain["udf"])
+    # a single rigid rotation links the two batches: recover it from the pcds
+    # and check it maps coords and gradients too
+    r, *_ = np.linalg.lstsq(plain["pcd"][0], aug["pcd"][0], rcond=None)
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+    np.testing.assert_allclose(plain["coords"][0] @ r, aug["coords"][0], atol=1e-4)
+    np.testing.assert_allclose(plain["gradients"][0] @ r, aug["gradients"][0], atol=1e-4)
+    # batch is genuinely rotated
+    assert np.abs(aug["pcd"] - plain["pcd"]).max() > 0.05
+
+
 def test_normalize_mesh_modes():
     mesh = Mesh(np.array([[1, 1, 1], [3, 1, 1], [1, 5, 1]], np.float32),
                 np.array([[0, 1, 2]]))
