@@ -25,7 +25,7 @@ import optax
 
 from ..models.decoder import CbnDecoder, CoordsEncoder
 from ..models.dgcnn import Dgcnn
-from .common import TrainState, global_norm
+from .common import TrainState, global_norm, select_update_if_finite
 
 
 @dataclass
@@ -123,11 +123,15 @@ def make_ae_train_step(
             opt_state=opt_state,
             batch_stats=new_stats,
         )
+        gnorm = global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        new_state = select_update_if_finite(ok, new_state, state)
         metrics = {
             "loss": loss,
             "udf_loss": udf_loss,
             "grad_loss": grad_loss,
-            "grad_norm": global_norm(grads),
+            "grad_norm": gnorm,
+            "nonfinite_skipped": (~ok).astype(jnp.float32),
         }
         return new_state, metrics
 

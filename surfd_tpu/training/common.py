@@ -57,6 +57,21 @@ def global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))
 
 
+def select_update_if_finite(ok, new_state, state):
+    """In-graph failure detection: keep the update only when `ok` (scalar
+    bool — loss and grad norm finite), else carry the previous params /
+    opt_state / batch_stats / EMA forward and only advance the step counter.
+
+    This is the TPU analog of the reference's fp16 NaN backoff
+    (/root/reference/diffusion/fp16_util.py:189-235): there is no loss scale
+    to shrink in bf16, but a poisoned batch (NaN in data, overflowed loss)
+    must not corrupt the parameters. Runs entirely inside the jitted step —
+    zero host syncs; surface the skip via a `nonfinite_skipped` metric.
+    """
+    guarded = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_state, state)
+    return guarded.replace(step=new_state.step)
+
+
 def create_train_state(
     params,
     tx: optax.GradientTransformation,

@@ -27,7 +27,7 @@ import optax
 from ..diffusion import Schedule, training_losses
 from ..diffusion.gaussian import LossType, MeanType, VarType
 from ..models.mdm import MDM
-from .common import TrainState, ema_update, global_norm
+from .common import TrainState, ema_update, global_norm, select_update_if_finite
 
 
 @dataclass
@@ -127,12 +127,16 @@ def make_train_step(
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
         )
+        gnorm = global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        new_state = select_update_if_finite(ok, new_state, state)
         metrics = {
             "loss": loss,
             "latent_l1": terms["latent_l1"].mean(),
             "per_example_loss": terms["loss"],
-            "grad_norm": global_norm(grads),
+            "grad_norm": gnorm,
             "param_norm": global_norm(params),
+            "nonfinite_skipped": (~ok).astype(jnp.float32),
         }
         return new_state, metrics
 
@@ -212,9 +216,10 @@ class DiffusionTrainer:
                 self.state, metrics = self._step_fn(
                     self.state, batch, jnp.asarray(t), jnp.asarray(weights), sub
                 )
-                self.schedule_sampler.update_with_all_losses(
-                    t, np.asarray(metrics["per_example_loss"])
-                )
+                per_ex = np.asarray(metrics["per_example_loss"])
+                if np.isfinite(per_ex).all():  # a poisoned batch must not
+                    # enter the importance-sampler's loss history either
+                    self.schedule_sampler.update_with_all_losses(t, per_ex)
                 step = int(self.state.step)
                 if self.logger and step % self.cfg.log_interval == 0:
                     self.logger.log_metrics(

@@ -47,6 +47,60 @@ def test_diffusion_train_step_decreases_loss():
     assert np.isfinite(m["grad_norm"])
 
 
+def test_nonfinite_batch_skips_update_in_graph():
+    """Failure detection (SURVEY §5): a NaN-poisoned batch must not corrupt
+    params/opt_state/EMA; the step counter still advances and the skip is
+    surfaced as a metric. Reference analog: fp16_util.py:189-235 backoff."""
+    mdm = _tiny_mdm()
+    L, B = 16, 4
+    x = jnp.zeros((B, L, 1))
+    params = mdm.init(jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32))["params"]
+    sched = named_schedule("cosine", 10)
+    tx = make_optimizer(lr=1e-3)
+    state = create_train_state(params, tx, ema=True)
+    step = make_train_step(mdm, sched, tx, ema_rate=0.99)
+
+    t = jnp.zeros((B,), jnp.int32)
+    w = jnp.ones((B,))
+    bad = {"latents": jnp.full((B, L), jnp.nan)}
+    new, m = step(state, bad, t, w, jax.random.PRNGKey(1))
+    assert float(m["nonfinite_skipped"]) == 1.0
+    assert int(new.step) == int(state.step) + 1
+    for a, b in zip(jax.tree.leaves(new.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(new.ema_params), jax.tree.leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    good = {"latents": jax.random.normal(jax.random.PRNGKey(2), (B, L)) * 0.3}
+    new2, m2 = step(new, good, t, w, jax.random.PRNGKey(3))
+    assert float(m2["nonfinite_skipped"]) == 0.0
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(new2.params), jax.tree.leaves(new.params))
+    )
+    assert changed
+
+    # same contract on the AE step
+    cfg = AETrainConfig(latent_size=8, hidden_dim=32, num_hidden_layers=2)
+    Np, Q = 32, 64
+    encoder, decoder, aparams, bstats = init_ae(
+        jax.random.PRNGKey(0), cfg, jnp.zeros((2, Np, 3)), jnp.zeros((2, Q, 3))
+    )
+    atx = make_optimizer(lr=1e-3)
+    astate = create_train_state(aparams, atx, batch_stats=bstats)
+    astep = make_ae_train_step(encoder, decoder, atx, max_dist=cfg.max_dist)
+    abad = {
+        "pcd": jnp.full((2, Np, 3), jnp.nan),
+        "coords": jnp.zeros((2, Q, 3)),
+        "udf": jnp.zeros((2, Q)),
+        "gradients": jnp.zeros((2, Q, 3)),
+    }
+    anew, am = astep(astate, abad)
+    assert float(am["nonfinite_skipped"]) == 1.0
+    for a, b in zip(jax.tree.leaves(anew.params), jax.tree.leaves(astate.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_diffusion_train_step_with_encoder_and_importance_weights():
     mdm = _tiny_mdm()
     enc = Dgcnn(size_latent=16, k=4)
