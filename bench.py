@@ -76,12 +76,14 @@ def _heartbeat():
         log(f"[hb] phase={_PHASE[0]} budget_left={rem:.0f}s")
 
 
-def run_phase(name, fn, *args):
+def run_phase(name, fn, *args, timeout=None):
     """Run fn on a worker thread, joined against the global deadline.
 
     A wedged device round trip (tunnel stall) cannot be interrupted, but the
     main thread stays responsive: at the deadline it reports whatever has
     completed and exits 0 instead of being killed output-less (r2 rc=124).
+    `timeout` bounds one phase tighter than the budget — used for device
+    acquisition, which hangs indefinitely when the tunnel relay is down.
     """
     _PHASE[0] = name
     box = {}
@@ -95,7 +97,10 @@ def run_phase(name, fn, *args):
     th = threading.Thread(target=work, daemon=True, name=name)
     t0 = time.perf_counter()
     th.start()
-    th.join(max(1.0, DEADLINE - time.perf_counter()))
+    limit = DEADLINE - time.perf_counter()
+    if timeout is not None:
+        limit = min(limit, timeout)
+    th.join(max(1.0, limit))
     if th.is_alive():
         log(f"phase '{name}' still running at deadline — reporting best-so-far")
         emit_and_exit(0)
@@ -164,14 +169,20 @@ def main():
     from surfd_tpu.models import MDM, CbnDecoder, CoordsEncoder
     from surfd_tpu.pipelines import MeshExtractionConfig, get_mesh_from_udf, make_udf_fn
 
-    dev = jax.devices()[0]
+    # Device acquisition hangs forever (not just ~5 min) when the tunnel
+    # relay process is gone — bound it so the driver gets a clean failure
+    # line instead of an output-less rc=124.
+    dev = run_phase("device_init", lambda: jax.devices()[0], timeout=600)
     log(f"device: {dev}")
 
     # --- flagship denoiser + jitted 1000-step DDPM sampler ---
     mdm = MDM(cond_mode="no_cond")
     L = args.latent_size
-    params = mdm.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, L, 1)), jnp.zeros((1,), jnp.int32)
+    params = run_phase(
+        "init_denoiser",
+        lambda: mdm.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, L, 1)), jnp.zeros((1,), jnp.int32)
+        ),
     )
     sched = named_schedule("cosine", 1000)
 
@@ -199,9 +210,12 @@ def main():
     import flax
 
     if os.path.exists(cache_path):
-        with open(cache_path, "rb") as fh:
-            dvars = flax.serialization.msgpack_restore(fh.read())
-        dvars = jax.tree.map(jnp.asarray, dvars)
+        def _load():
+            with open(cache_path, "rb") as fh:
+                restored = flax.serialization.msgpack_restore(fh.read())
+            return jax.tree.map(jnp.asarray, restored)  # ~12 MB h2d upload
+
+        dvars = run_phase("load_decoder_cache", _load)
         log(f"decoder loaded from {cache_path} (fit skipped)")
     else:
         dvars = run_phase(
