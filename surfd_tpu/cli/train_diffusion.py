@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--log_interval", type=int, default=100)
     ap.add_argument("--save_interval", type=int, default=50_000)
     ap.add_argument("--num_points_pcd", type=int, default=10_000)
+    ap.add_argument("--precompute_latents", action="store_true",
+                    help="encode each shape ONCE through the frozen DGCNN and "
+                         "train from cached latents (the reference re-encodes "
+                         "every step, training_loop_single.py:192-194); trades "
+                         "the per-step pcd resample jitter for a much faster "
+                         "step — cache at save_dir/latents_cache.npz")
     ap.add_argument("--schedule_sampler", default="uniform",
                     choices=["uniform", "loss-second-moment"])
     ap.add_argument("--cond_mask_prob", type=float, default=0.0,
@@ -99,10 +105,6 @@ def main():
         captions_csv=args.captions_csv or None,
         category_map=category_map,
     )
-    data_iter = diffusion_batch_iterator(
-        dataset, args.batch_size, args.num_points_pcd, np_rng
-    )
-
     # frozen encoder (training_loop_single.py:106-113)
     encoder = Dgcnn(size_latent=args.latent_size)
     probe = jnp.zeros((1, args.num_points_pcd, 3))
@@ -112,6 +114,24 @@ def main():
         enc_vars = load_params_npz(enc_path, enc_vars)
     else:
         print("WARNING: no AE encoder weights; using random encoder", file=sys.stderr)
+
+    encoder_apply = lambda p: encoder.apply(enc_vars, p)  # noqa: E731
+    if args.precompute_latents:
+        from ..data.datasets import latent_diffusion_batch_iterator, precompute_latents
+
+        lat_map = precompute_latents(
+            dataset, jax.jit(encoder_apply), args.num_points_pcd, np_rng,
+            cache_path=os.path.join(args.save_dir, "latents_cache.npz"),
+        )
+        print(f"precomputed {len(lat_map)} latents", file=sys.stderr)
+        data_iter = latent_diffusion_batch_iterator(
+            dataset, lat_map, args.batch_size, np_rng
+        )
+        encoder_apply = None
+    else:
+        data_iter = diffusion_batch_iterator(
+            dataset, args.batch_size, args.num_points_pcd, np_rng
+        )
 
     mdm = MDM(cond_mode=args.cond_mode, model_channels=args.model_channels,
               dropout=args.dropout, num_actions=args.num_actions)
@@ -158,7 +178,7 @@ def main():
 
     trainer = DiffusionTrainer(
         cfg, mdm, sched, state, data_iter,
-        encoder_apply=lambda p: encoder.apply(enc_vars, p),
+        encoder_apply=encoder_apply,
         checkpointer=ck, logger=logger, mesh=mesh,
     )
     final = trainer.run(rng=rng)

@@ -10,6 +10,8 @@ from .datasets import (
     UdfDataset,
     ae_batch_iterator,
     diffusion_batch_iterator,
+    latent_diffusion_batch_iterator,
+    precompute_latents,
     random_point_sampling,
 )
 from .preprocess import (

@@ -135,7 +135,14 @@ class DiffusionDataset(UdfDataset):
         self.category_map = category_map or {}
 
     def __getitem__(self, i: int) -> dict:
-        item = super().__getitem__(i)
+        return self._attach_cond(super().__getitem__(i), i)
+
+    def cond_item(self, i: int) -> dict:
+        """id + conditioning payload only — skips decoding the pcd/coords/
+        labels arrays (latent-batch iterators don't need them)."""
+        return self._attach_cond({"index": i, "id": self.item_id(i)}, i)
+
+    def _attach_cond(self, item: dict, i: int) -> dict:
         fid = item["id"]
         if self.cond_mode == "text":
             item["text"] = self.captions.get(fid, "")
@@ -225,14 +232,96 @@ def diffusion_batch_iterator(
                     [random_point_sampling(it["pcd"], num_points_pcd, rng) for it in items]
                 ),
             }
-            if dataset.cond_mode == "text":
-                texts = [it["text"] for it in items]
-                if encode_text is not None:
-                    batch["context"] = encode_text(texts)
-                else:
-                    batch["texts"] = texts
-            elif dataset.cond_mode == "category":
-                batch["action"] = np.asarray([it["action"] for it in items], np.int32)
-            elif dataset.cond_mode in ("sketch", "img"):
-                batch["context"] = np.stack([it["context"] for it in items])
+            batch.update(_conditioning_payload(dataset, items, encode_text))
+            yield batch
+
+
+def _conditioning_payload(dataset: DiffusionDataset, items, encode_text) -> dict:
+    out: dict = {}
+    if dataset.cond_mode == "text":
+        texts = [it["text"] for it in items]
+        if encode_text is not None:
+            out["context"] = encode_text(texts)
+        else:
+            out["texts"] = texts
+    elif dataset.cond_mode == "category":
+        out["action"] = np.asarray([it["action"] for it in items], np.int32)
+    elif dataset.cond_mode in ("sketch", "img"):
+        out["context"] = np.stack([it["context"] for it in items])
+    return out
+
+
+def precompute_latents(
+    dataset: UdfDataset,
+    encode: Callable[[np.ndarray], np.ndarray],
+    num_points_pcd: int,
+    rng: np.random.Generator,
+    encode_batch: int = 8,
+    cache_path: Optional[str] = None,
+) -> Dict[str, np.ndarray]:
+    """Encode every item's point cloud ONCE through the frozen encoder.
+
+    The reference re-runs the frozen DGCNN inside every train step
+    (/root/reference/training_loop_single.py:192-194) — recomputing a frozen
+    tower's output forever. Caching one latent per shape removes the encode
+    (and its pcd upload) from the step entirely; the cost is losing the
+    per-step 10k-point resample jitter, a mild input augmentation — hence
+    the in-step encode stays the default path and this is opt-in
+    (train_diffusion --precompute_latents).
+
+    Shapes are encoded in fixed chunks of `encode_batch` (the tail is padded
+    and sliced) so a jitted `encode` compiles exactly once. `cache_path`
+    (.npz) memoizes across runs, keyed by the item-id list + num_points_pcd.
+    Returns {item_id: (L,) float32}.
+    """
+    ids = [dataset.item_id(i) for i in range(len(dataset))]
+    if cache_path and os.path.exists(cache_path):
+        with np.load(cache_path, allow_pickle=False) as z:
+            if int(z["num_points_pcd"]) == num_points_pcd and [
+                str(s) for s in z["ids"]
+            ] == ids:
+                return dict(zip(ids, np.asarray(z["latents"], np.float32)))
+    n = len(dataset)
+    chunks = []
+    for s in range(0, n, encode_batch):
+        idx = range(s, min(s + encode_batch, n))
+        pcds = np.stack(
+            [random_point_sampling(dataset[i]["pcd"], num_points_pcd, rng) for i in idx]
+        )
+        pad = encode_batch - len(pcds)
+        if pad:
+            pcds = np.concatenate([pcds, np.repeat(pcds[-1:], pad, axis=0)])
+        z = np.asarray(encode(pcds))
+        chunks.append(z[: len(idx)])
+    latents = np.concatenate(chunks).astype(np.float32)
+    if cache_path:
+        np.savez(
+            cache_path,
+            ids=np.asarray(ids),
+            latents=latents,
+            num_points_pcd=num_points_pcd,
+        )
+    return dict(zip(ids, latents))
+
+
+def latent_diffusion_batch_iterator(
+    dataset: DiffusionDataset,
+    latents: Dict[str, np.ndarray],
+    batch_size: int,
+    rng: np.random.Generator,
+    encode_text: Optional[Callable[[List[str]], np.ndarray]] = None,
+    shuffle: bool = True,
+):
+    """Endless batches over precomputed frozen-encoder latents (see
+    precompute_latents): 'latents' (B, L) plus the same conditioning payloads
+    as diffusion_batch_iterator. make_train_step consumes 'latents' directly
+    and skips the in-graph encode; items are fetched via cond_item so the
+    heavy point/query arrays are never decoded."""
+    n = len(dataset)
+    while True:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for s in range(0, n - batch_size + 1, batch_size):
+            items = [dataset.cond_item(int(i)) for i in order[s : s + batch_size]]
+            batch = {"latents": np.stack([latents[it["id"]] for it in items])}
+            batch.update(_conditioning_payload(dataset, items, encode_text))
             yield batch

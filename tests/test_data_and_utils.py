@@ -101,6 +101,61 @@ def test_prepare_udf_sample_and_datasets(tmp_path):
     assert b["action"].shape == (2,)
 
 
+def test_precompute_latents_and_latent_iterator(tmp_path):
+    """Precomputed frozen-encoder latents: chunked encode, npz memoization,
+    and the latent batch iterator (reference re-encodes every step,
+    training_loop_single.py:192-194 — this is the opt-in faster path)."""
+    from surfd_tpu.data import latent_diffusion_batch_iterator, precompute_latents
+    from surfd_tpu.models import Dgcnn
+
+    mesh = _sphere_mesh()
+    cfg = PreprocessConfig(num_points_pcd=500, counts=(200, 100, 50), num_uniform=50)
+    payload = prepare_udf_sample(mesh, cfg)
+    d = tmp_path / "train"
+    d.mkdir()
+    cat_map = {"a": 0, "b": 1, "c": 2}
+    for name in cat_map:
+        np.savez(d / f"{name}.npz", **payload)
+    ds = DiffusionDataset(str(tmp_path), "train", cond_mode="category",
+                          category_map=cat_map)
+
+    enc = Dgcnn(size_latent=8, k=4)
+    ev = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)))
+    calls = []
+
+    def encode(p):
+        calls.append(p.shape)
+        return np.asarray(enc.apply(ev, jnp.asarray(p)))
+
+    cache = str(tmp_path / "lat.npz")
+    lat = precompute_latents(ds, encode, 64, np.random.default_rng(0),
+                             encode_batch=2, cache_path=cache)
+    assert sorted(lat) == ["a", "b", "c"]
+    assert all(v.shape == (8,) and v.dtype == np.float32 for v in lat.values())
+    # 3 items in chunks of 2: two fixed-shape calls, tail padded
+    assert calls == [(2, 64, 3), (2, 64, 3)]
+
+    # memoized: a second call encodes nothing and returns identical values
+    calls.clear()
+    lat2 = precompute_latents(ds, encode, 64, np.random.default_rng(9),
+                              encode_batch=2, cache_path=cache)
+    assert calls == []
+    np.testing.assert_array_equal(lat2["b"], lat["b"])
+
+    # cache keyed by num_points_pcd: a different count re-encodes
+    precompute_latents(ds, encode, 32, np.random.default_rng(0),
+                       encode_batch=3, cache_path=cache)
+    assert calls == [(3, 32, 3)]
+
+    it = latent_diffusion_batch_iterator(ds, lat, 2, np.random.default_rng(1))
+    b = next(it)
+    assert b["latents"].shape == (2, 8)
+    assert b["action"].shape == (2,)
+    id_of = {v: k for k, v in cat_map.items()}
+    for row, act in zip(b["latents"], b["action"]):
+        np.testing.assert_array_equal(row, lat[id_of[int(act)]])
+
+
 def test_ae_iterator_rotation_augmentation(tmp_path):
     from surfd_tpu.data.datasets import random_rotation_matrix
 
