@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--guidance_param", type=float, default=2.0)
     ap.add_argument("--timestep_respacing", default="")
     ap.add_argument("--chamfer_points", type=int, default=4096)
+    # floaters filter like the reference sample scripts (generate_uncond.py:
+    # 117-122 mincomponentsize 2500); 0 disables
+    ap.add_argument("--min_component_faces", type=int, default=2500)
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--out", default="/tmp/surfd_gen_eval")
     args = ap.parse_args()
@@ -115,7 +118,7 @@ def main():
                 udf_fn,
                 cfg=MeshExtractionConfig(
                     resolution=args.resolution,
-                    min_component_faces=0,
+                    min_component_faces=args.min_component_faces,
                 ),
                 return_stats=True,
             )
