@@ -98,12 +98,21 @@ def main():
         print(f"resumed at step {int(state.step)}", file=sys.stderr)
 
     logger = Logger(args.save_dir, formats=("stdout", "jsonl", "csv"))
-    sampler = SequenceSamplerTrain(state_cur, np_rng)
-    train_iter = ae_batch_iterator(
+    from ..data import prefetch_iterator
+
+    # prefetch: prepare the next batch on a worker thread while the device
+    # executes the current step (the host side is ~0.35 s/step on one core).
+    # Curriculum growth reaches the producer through the live `sampler`
+    # closure; at most `depth` already-queued batches lag the new index set.
+    # The producer gets its OWN Generator — np.random.Generator is not
+    # thread-safe and `np_rng` stays in use on the main thread (validation).
+    np_rng_data = np.random.default_rng(args.seed + 1)
+    sampler = SequenceSamplerTrain(state_cur, np_rng_data)
+    train_iter = prefetch_iterator(ae_batch_iterator(
         dataset, lambda: list(sampler), args.batch_size,
-        args.num_points_pcd, args.num_points_forward, np_rng, args.max_dist,
+        args.num_points_pcd, args.num_points_forward, np_rng_data, args.max_dist,
         augment_rotations=args.augment_rotations,
-    )
+    ), depth=2)
 
     def run_val_and_grow():
         """Validate the complement set, add the easiest (encdec.py:228-296).
@@ -145,7 +154,11 @@ def main():
             steps_per_epoch = max(len(state_cur.training_idxes) // args.batch_size, 1)
             for _ in range(steps_per_epoch):
                 state, metrics = train_step(state, next(train_iter))
-                global_step = int(state.step)
+                # host-side counter (lockstep with state.step, which advances
+                # even on guard-skipped updates): fetching int(state.step)
+                # every step would cost one device round trip per step and
+                # defeat async dispatch.
+                global_step += 1
                 if global_step % args.log_interval == 0:
                     logger.log_metrics(
                         {k: float(v) for k, v in metrics.items()}, global_step

@@ -132,6 +132,11 @@ def main():
         data_iter = diffusion_batch_iterator(
             dataset, args.batch_size, args.num_points_pcd, np_rng
         )
+    # overlap host batch prep with the device step (np_rng is owned by the
+    # producer thread from here on — nothing else on the main thread uses it)
+    from ..data import prefetch_iterator
+
+    data_iter = prefetch_iterator(data_iter, depth=2)
 
     mdm = MDM(cond_mode=args.cond_mode, model_channels=args.model_channels,
               dropout=args.dropout, num_actions=args.num_actions)

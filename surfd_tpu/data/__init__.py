@@ -14,6 +14,7 @@ from .datasets import (
     precompute_latents,
     random_point_sampling,
 )
+from .prefetch import prefetch_iterator
 from .preprocess import (
     PreprocessConfig,
     compute_udf_from_mesh,

@@ -29,6 +29,10 @@ def create_named_schedule_sampler(name: str, num_timesteps: int):
 class ScheduleSampler(ABC):
     """Importance-sampling distribution over timesteps (resample.py:25-58)."""
 
+    # whether update_with_all_losses consumes the per-example losses — lets
+    # the train loop skip the per-step device fetch for stateless samplers
+    needs_losses: bool = False
+
     @abstractmethod
     def weights(self) -> np.ndarray:
         """Unnormalized per-timestep sampling weights."""
@@ -56,6 +60,8 @@ class UniformSampler(ScheduleSampler):
 
 class LossSecondMomentResampler(ScheduleSampler):
     """E[loss²]^0.5-proportional sampling (resample.py:124-154)."""
+
+    needs_losses = True
 
     def __init__(self, num_timesteps: int, history_per_term: int = 10, uniform_prob: float = 0.001):
         self.num_timesteps = num_timesteps

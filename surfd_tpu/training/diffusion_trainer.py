@@ -192,18 +192,20 @@ class DiffusionTrainer:
 
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         num_steps = num_steps or self.cfg.num_steps
-        start = int(self.state.step)
+        # host-side step counter, in lockstep with state.step (which advances
+        # even when the non-finite guard skips an update): reading
+        # int(self.state.step) per step would force a device round trip and
+        # serialize async dispatch.
+        step = start = int(self.state.step)
         with GracefulShutdown() as stop:
             for _ in range(start, num_steps):
                 if stop.requested:
                     # preemption: persist everything and leave resumably
                     if self.checkpointer:
-                        self.checkpointer.save(int(self.state.step), self.state, force=True)
+                        self.checkpointer.save(step, self.state, force=True)
                         self.checkpointer.wait()
                     if self.logger:
-                        self.logger.log_metrics(
-                            {"preempted": 1.0}, int(self.state.step)
-                        )
+                        self.logger.log_metrics({"preempted": 1.0}, step)
                     return self.state
                 batch = next(self.data_iter)
                 if self.mesh is not None:
@@ -216,11 +218,14 @@ class DiffusionTrainer:
                 self.state, metrics = self._step_fn(
                     self.state, batch, jnp.asarray(t), jnp.asarray(weights), sub
                 )
-                per_ex = np.asarray(metrics["per_example_loss"])
-                if np.isfinite(per_ex).all():  # a poisoned batch must not
-                    # enter the importance-sampler's loss history either
-                    self.schedule_sampler.update_with_all_losses(t, per_ex)
-                step = int(self.state.step)
+                if self.schedule_sampler.needs_losses:
+                    # per-step device fetch only for the importance sampler —
+                    # the uniform sampler keeps the loop free of round trips
+                    per_ex = np.asarray(metrics["per_example_loss"])
+                    if np.isfinite(per_ex).all():  # a poisoned batch must not
+                        # enter the importance-sampler's loss history either
+                        self.schedule_sampler.update_with_all_losses(t, per_ex)
+                step += 1
                 if self.logger and step % self.cfg.log_interval == 0:
                     self.logger.log_metrics(
                         {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0},

@@ -373,3 +373,36 @@ def test_checkpointer_force_overwrites_existing_step(tmp_path):
     ck.wait()
     out = ck.restore(state, step=7)
     np.testing.assert_array_equal(out["w"], new["w"])
+
+
+def test_prefetch_iterator_order_exceptions_and_finite():
+    """prefetch_iterator preserves order, ends with the source, and re-raises
+    producer exceptions at the consumer's next()."""
+    import numpy as np
+
+    from surfd_tpu.data import prefetch_iterator
+
+    # order + termination
+    out = list(prefetch_iterator(iter(range(17)), depth=3))
+    assert out == list(range(17))
+
+    # array batches come through unchanged
+    batches = [{"x": np.full((4, 3), i, np.float32)} for i in range(5)]
+    got = list(prefetch_iterator(iter(batches), depth=2))
+    for a, b in zip(batches, got):
+        np.testing.assert_array_equal(a["x"], b["x"])
+
+    # exception relays
+    def boom():
+        yield 1
+        raise RuntimeError("producer died")
+
+    it = prefetch_iterator(boom(), depth=2)
+    assert next(it) == 1
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer died"):
+        next(it)
+
+    with pytest.raises(ValueError):
+        prefetch_iterator(iter([]), depth=0)
