@@ -112,6 +112,7 @@ def main():
             jax.random.PRNGKey(args.seed + ci), var_type=VarType.FIXED_SMALL,
         ))
         dists = []
+        sample_pcs = []  # per-sample surface point clouds for 1-NNA
         for k in range(args.per_class):
             udf_fn = make_udf_fn(decoder, dec_vars, jnp.asarray(lat[k]))
             mesh, stats = get_mesh_from_udf(
@@ -127,8 +128,14 @@ def main():
                 print(f"[{cname} {k}] EMPTY mesh", flush=True)
                 dists.append((np.inf, -1))
                 continue
-            write_obj(path, Mesh(np.asarray(mesh.vertices), np.asarray(mesh.faces)))
+            out_mesh = Mesh(np.asarray(mesh.vertices), np.asarray(mesh.faces))
+            write_obj(path, out_mesh)
+            from surfd_tpu.data.preprocess import sample_points_on_mesh
             from surfd_tpu.geometry.metrics import mesh_surface_metrics
+
+            sample_pcs.append(
+                sample_points_on_mesh(out_mesh, args.chamfer_points, rng)
+            )
 
             ds = [
                 mesh_surface_metrics(mesh, g, n=args.chamfer_points, rng=rng)["chamfer"]
@@ -142,9 +149,26 @@ def main():
             )
         finite = [d for d, _ in dists if np.isfinite(d)]
         covered = {j for _, j in dists if j >= 0}
+        # 1-NNA vs an equal-size random GT subset (equal sizes keep the
+        # two-sample null at 0.5); empty meshes simply shrink the sample set
+        nna = None
+        if sample_pcs:
+            from surfd_tpu.data.preprocess import sample_points_on_mesh
+            from surfd_tpu.geometry.metrics import one_nn_accuracy
+
+            gt_pick = rng.choice(
+                len(gt_by_class[ci]),
+                size=min(len(sample_pcs), len(gt_by_class[ci])), replace=False,
+            )
+            gt_pcs = [
+                sample_points_on_mesh(gt_by_class[ci][g], args.chamfer_points, rng)
+                for g in gt_pick
+            ]
+            nna = one_nn_accuracy(sample_pcs, gt_pcs)
         results[cname] = {
             "mmd_chamfer": float(np.mean(finite)) if finite else None,
             "cov": len(covered) / max(1, len(gt_by_class[ci])),
+            "one_nna": nna,
             "n_empty": int(sum(1 for d, _ in dists if not np.isfinite(d))),
             "per_sample": [
                 {"chamfer": (None if not np.isfinite(d) else d),

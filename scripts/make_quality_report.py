@@ -58,15 +58,16 @@ def recon_table(splits: dict[str, dict]) -> str:
 
 def gen_table(gen: dict) -> str:
     lines = [
-        "| class | MMD-Chamfer ↓ | COV ↑ | empty |",
-        "|---|---|---|---|",
+        "| class | MMD-Chamfer ↓ | COV ↑ | 1-NNA →0.5 | empty |",
+        "|---|---|---|---|---|",
     ]
     for cname, r in gen.items():
         if cname.startswith("_"):
             continue
         mmd = f"{r['mmd_chamfer']:.5f}" if r.get("mmd_chamfer") is not None else "—"
+        nna = f"{r['one_nna']:.2f}" if r.get("one_nna") is not None else "—"
         lines.append(
-            f"| {cname} | {mmd} | {r['cov']:.2f} | {r.get('n_empty', 0)} |"
+            f"| {cname} | {mmd} | {r['cov']:.2f} | {nna} | {r.get('n_empty', 0)} |"
         )
     meta = gen.get("_meta", {})
     if meta:

@@ -97,3 +97,31 @@ def mesh_surface_metrics(
         "precision": precision,
         "recall": recall,
     }
+
+
+def one_nn_accuracy(
+    sample_sets: "list[np.ndarray]",
+    reference_sets: "list[np.ndarray]",
+    chunk: int = 4096,
+) -> float:
+    """1-NNA between two sets of point clouds (PointFlow / Surf-D paper's
+    third set metric alongside MMD and COV; the reference ships no metric
+    code at all).
+
+    Leave-one-out 1-NN two-sample classification accuracy over the pooled
+    set under Chamfer distance: 0.5 means generated and reference shapes are
+    indistinguishable (ideal); 1.0 means perfectly separable. Callers should
+    pass equally sized sets — unbalanced sizes bias the null accuracy away
+    from 0.5.
+    """
+    pools = list(sample_sets) + list(reference_sets)
+    labels = np.array([0] * len(sample_sets) + [1] * len(reference_sets))
+    n = len(pools)
+    if n < 2:
+        raise ValueError("1-NNA needs at least one point cloud per set")
+    dist = np.full((n, n), np.inf)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dist[i, j] = dist[j, i] = chamfer_distance(pools[i], pools[j], chunk)
+    nn = dist.argmin(axis=1)
+    return float((labels[nn] == labels).mean())

@@ -551,3 +551,27 @@ def test_mesh_surface_metrics_exact():
     assert r2["f_score@0.01"] == 0.0
     d = point_mesh_distances(np.array([[0.5, 0.5, 0.3]], np.float32), m)
     np.testing.assert_allclose(d, [0.3], rtol=1e-6)
+
+
+def test_one_nn_accuracy_separable_and_identical():
+    """1-NNA = 1.0 for cleanly separable sets, ~0.5 for same-distribution."""
+    import numpy as np
+
+    from surfd_tpu.geometry.metrics import one_nn_accuracy
+
+    rng = np.random.default_rng(0)
+    near = [rng.normal(0, 0.01, (64, 3)).astype(np.float32) for _ in range(4)]
+    far = [(rng.normal(0, 0.01, (64, 3)) + 5).astype(np.float32) for _ in range(4)]
+    assert one_nn_accuracy(near, far) == 1.0
+
+    # same distribution: each shape's nearest neighbour is ~random across
+    # sets -> accuracy near chance (bounded loosely; tiny n is noisy)
+    same_a = [rng.normal(0, 1, (64, 3)).astype(np.float32) for _ in range(8)]
+    same_b = [rng.normal(0, 1, (64, 3)).astype(np.float32) for _ in range(8)]
+    acc = one_nn_accuracy(same_a, same_b)
+    assert 0.2 <= acc <= 0.8
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        one_nn_accuracy([], [])
