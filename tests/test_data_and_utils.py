@@ -406,3 +406,40 @@ def test_prefetch_iterator_order_exceptions_and_finite():
 
     with pytest.raises(ValueError):
         prefetch_iterator(iter([]), depth=0)
+
+
+def test_prefetch_preserves_ae_batch_stream(tmp_path):
+    """prefetch_iterator(ae_batch_iterator(...)) yields the exact same batch
+    stream as the bare iterator under the same seed — threading must not
+    change training data order or content."""
+    import numpy as np
+
+    from surfd_tpu.data import ae_batch_iterator, prefetch_iterator
+    from surfd_tpu.data.datasets import UdfDataset
+
+    root = tmp_path / "train"
+    root.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        np.savez(
+            root / f"m{i}.npz",
+            pcd=rng.normal(size=(300, 3)).astype(np.float32),
+            coords=rng.uniform(-1, 1, (500, 3)).astype(np.float32),
+            labels=rng.uniform(0, 0.1, 500).astype(np.float32),
+            gradients=rng.normal(size=(500, 3)).astype(np.float32),
+        )
+
+    def make(seed):
+        ds = UdfDataset(str(tmp_path), "train")
+        return ae_batch_iterator(
+            ds, lambda: [0, 1, 2, 3], 2, 64, 128,
+            np.random.default_rng(seed), augment_rotations=True,
+        )
+
+    plain = make(7)
+    fetched = prefetch_iterator(make(7), depth=2)
+    for _ in range(6):
+        a, b = next(plain), next(fetched)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
