@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--val_every", type=int, default=64)
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--log_interval", type=int, default=10)
+    ap.add_argument("--stall_exit_s", type=float, default=480.0,
+                    help="exit 42 when no step completes for this long "
+                         "(wedged device link); 0 disables — run under "
+                         "scripts/train_with_restarts.sh to auto-resume")
     from ..utils.config import apply_preset_defaults
 
     apply_preset_defaults(ap)
@@ -135,7 +139,7 @@ def main():
         state_cur.save(cur_path)
         logger.log_metrics({"curriculum_size": len(state_cur.training_idxes)}, int(state.step))
 
-    from ..training import GracefulShutdown
+    from ..training import GracefulShutdown, StallWatchdog
 
     def save_all():
         ck.save(global_step, state, force=True)
@@ -149,19 +153,21 @@ def main():
         )
 
     global_step = int(state.step)
-    with GracefulShutdown() as stop:
+    with GracefulShutdown() as stop, StallWatchdog(args.stall_exit_s) as wd:
         for epoch in range(args.num_epochs):
             steps_per_epoch = max(len(state_cur.training_idxes) // args.batch_size, 1)
             for _ in range(steps_per_epoch):
                 state, metrics = train_step(state, next(train_iter))
+                wd.tick()
                 # host-side counter (lockstep with state.step, which advances
                 # even on guard-skipped updates): fetching int(state.step)
                 # every step would cost one device round trip per step and
                 # defeat async dispatch.
                 global_step += 1
                 if global_step % args.log_interval == 0:
+                    host = jax.device_get(metrics)  # ONE transfer for all keys
                     logger.log_metrics(
-                        {k: float(v) for k, v in metrics.items()}, global_step
+                        {k: float(v) for k, v in host.items()}, global_step
                     )
                 if stop.requested:
                     break

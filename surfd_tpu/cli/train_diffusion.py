@@ -54,6 +54,10 @@ def main():
                          "(reference mdm.py:27 stored this but never applied it)")
     ap.add_argument("--dropout", type=float, default=0.0,
                     help="UNet res-block dropout (openaimodel.py:450)")
+    ap.add_argument("--stall_exit_s", type=float, default=480.0,
+                    help="exit 42 when no step completes for this long "
+                         "(wedged device link); 0 disables — run under "
+                         "scripts/train_with_restarts.sh to auto-resume")
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--captions_csv", default="")
@@ -163,6 +167,7 @@ def main():
         cond_mode=args.cond_mode,
         cond_mask_prob=args.cond_mask_prob,
         dropout=args.dropout,
+        stall_exit_s=args.stall_exit_s,
     )
     tx = make_optimizer(cfg.lr, weight_decay=args.weight_decay)
     state = create_train_state(params, tx)

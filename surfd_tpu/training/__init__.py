@@ -1,5 +1,6 @@
 from .common import (
     GracefulShutdown,
+    StallWatchdog,
     TrainState,
     create_train_state,
     ema_update,

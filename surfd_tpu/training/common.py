@@ -9,6 +9,10 @@ used inside the model where requested, which needs no NaN backoff.
 
 from __future__ import annotations
 
+import os
+import sys
+import threading
+import time
 from typing import Any
 
 import jax
@@ -118,4 +122,64 @@ class GracefulShutdown:
     def __exit__(self, *exc):
         for s, h in self._prev.items():
             self._signal.signal(s, h)
+        return False
+
+
+class StallWatchdog:
+    """Hang detection for training loops (SURVEY §5 failure-detection row).
+
+    The link to the device can wedge a pending RPC forever — every thread
+    asleep, no exception ever raised (observed on the tunnelled deployment;
+    CUDA/NCCL either completes or aborts, so the reference never needed
+    this). A wedged step can be neither interrupted nor checkpointed (the
+    state lives device-side behind the same dead link), so the only safe
+    recovery is: exit the process with a distinctive code and let a restart
+    loop (scripts/train_with_restarts.sh) resume from the last checkpoint.
+
+    Loops call `tick()` once per completed step. Async dispatch means a tick
+    lags true device progress by at most the in-flight queue depth; when the
+    link wedges, the loop stops ticking within seconds. The first tick gets
+    `first_grace_s` (compile time is legitimate minutes); after that,
+    silence for `timeout_s` triggers exit(EXIT_CODE) from a daemon thread.
+    `timeout_s=0` disables. Use as a context manager.
+    """
+
+    EXIT_CODE = 42
+
+    def __init__(self, timeout_s: float = 480.0, first_grace_s: float = 3600.0):
+        self.timeout_s = float(timeout_s)
+        self.first_grace_s = float(first_grace_s)
+        self._last = None  # monotonic time of the last tick; None = pre-first
+        self._t0 = None
+        self._stop = threading.Event()
+
+    def tick(self):
+        self._last = time.monotonic()
+
+    def _watch(self):
+        while not self._stop.wait(min(30.0, self.timeout_s / 4)):
+            now = time.monotonic()
+            if self._last is None:
+                if now - self._t0 > self.first_grace_s:
+                    self._bark(now - self._t0, "no first step")
+            elif now - self._last > self.timeout_s:
+                self._bark(now - self._last, "no step completed")
+
+    def _bark(self, silent_s: float, why: str):
+        print(
+            f"StallWatchdog: {why} in {silent_s:.0f}s — device link presumed "
+            f"wedged; exiting {self.EXIT_CODE} for the restart loop",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(self.EXIT_CODE)
+
+    def __enter__(self):
+        self._t0 = time.monotonic()
+        if self.timeout_s > 0:
+            threading.Thread(target=self._watch, daemon=True,
+                             name="stall-watchdog").start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
         return False

@@ -50,6 +50,9 @@ class DiffusionTrainConfig:
     # one place "match the reference" means "implement what it intended".
     cond_mask_prob: float = 0.0
     dropout: float = 0.0  # UNet res-block dropout (openaimodel.py:450)
+    # exit 42 when no step completes for this long (wedged device link;
+    # common.StallWatchdog) — 0 disables
+    stall_exit_s: float = 480.0
 
 
 def make_train_step(
@@ -188,7 +191,7 @@ class DiffusionTrainer:
         self._np_rng = np.random.default_rng(0)
 
     def run(self, num_steps: Optional[int] = None, rng=None):
-        from .common import GracefulShutdown
+        from .common import GracefulShutdown, StallWatchdog
 
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         num_steps = num_steps or self.cfg.num_steps
@@ -197,7 +200,8 @@ class DiffusionTrainer:
         # int(self.state.step) per step would force a device round trip and
         # serialize async dispatch.
         step = start = int(self.state.step)
-        with GracefulShutdown() as stop:
+        with GracefulShutdown() as stop, \
+                StallWatchdog(self.cfg.stall_exit_s) as wd:
             for _ in range(start, num_steps):
                 if stop.requested:
                     # preemption: persist everything and leave resumably
@@ -218,6 +222,7 @@ class DiffusionTrainer:
                 self.state, metrics = self._step_fn(
                     self.state, batch, jnp.asarray(t), jnp.asarray(weights), sub
                 )
+                wd.tick()
                 if self.schedule_sampler.needs_losses:
                     # per-step device fetch only for the importance sampler —
                     # the uniform sampler keeps the loop free of round trips
@@ -227,9 +232,11 @@ class DiffusionTrainer:
                         self.schedule_sampler.update_with_all_losses(t, per_ex)
                 step += 1
                 if self.logger and step % self.cfg.log_interval == 0:
+                    host = jax.device_get(  # ONE transfer for all scalar keys
+                        {k: v for k, v in metrics.items() if np.ndim(v) == 0}
+                    )
                     self.logger.log_metrics(
-                        {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0},
-                        step=step,
+                        {k: float(v) for k, v in host.items()}, step=step,
                     )
                 if self.checkpointer and step % self.cfg.save_interval == 0:
                     self.checkpointer.save(step, self.state)

@@ -590,3 +590,32 @@ def test_graceful_shutdown_checkpoints_on_sigterm(tmp_path):
     assert ck.latest_step() == step  # forced save landed at the stop step
     restored = ck.restore(jax.tree.map(np.asarray, final))
     assert int(restored.step) == step
+
+
+def test_stall_watchdog_exits_42_when_silent_and_not_when_ticking():
+    """StallWatchdog (failure detection): a loop that stops completing steps
+    exits with the restart code; a ticking loop is untouched. Run in
+    subprocesses because the watchdog uses os._exit."""
+    import os
+    import subprocess
+    import sys
+
+    prog = """
+import sys, time
+from surfd_tpu.training import StallWatchdog
+mode = sys.argv[1]
+with StallWatchdog(timeout_s=1.0, first_grace_s=0.5) as wd:
+    if mode == "ticking":
+        for _ in range(8):
+            time.sleep(0.2)
+            wd.tick()
+        sys.exit(0)
+    wd.tick()       # one step completes...
+    time.sleep(30)  # ...then the link wedges
+    sys.exit(0)     # never reached
+"""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    ok = subprocess.run([sys.executable, "-c", prog, "ticking"], env=env, timeout=120)
+    assert ok.returncode == 0
+    wedged = subprocess.run([sys.executable, "-c", prog, "wedged"], env=env, timeout=120)
+    assert wedged.returncode == 42
