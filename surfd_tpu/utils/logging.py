@@ -49,6 +49,16 @@ class _CsvSink:
         self.path = path
         self.keys: list[str] = []
         self.rows: list[dict] = []
+        # the sink rewrites the whole file per dump (the reference logger's
+        # growing-column-set trick, diffusion/logger.py:113-147) — preload
+        # any existing rows so a resumed run appends to its training curve
+        # instead of erasing it
+        if os.path.exists(path):
+            with open(path, newline="") as f:
+                r = csv.DictReader(f)
+                if r.fieldnames:
+                    self.keys = list(r.fieldnames)
+                    self.rows = [dict(row) for row in r]
 
     def write(self, kvs, step):
         row = {"step": step, **kvs}

@@ -443,3 +443,27 @@ def test_prefetch_preserves_ae_batch_stream(tmp_path):
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_csv_sink_preserves_history_across_restart(tmp_path):
+    """A resumed run's Logger must append to metrics.csv, not erase the
+    curve logged before the restart (StallWatchdog restarts depend on it)."""
+    import csv
+
+    from surfd_tpu.utils.logging import Logger
+
+    d = str(tmp_path)
+    lg = Logger(d, formats=("csv",))
+    lg.log_metrics({"loss": 1.0}, 10)
+    lg.log_metrics({"loss": 0.5, "new_key": 2.0}, 20)
+    lg.close()
+
+    lg2 = Logger(d, formats=("csv",))
+    lg2.log_metrics({"loss": 0.25}, 30)
+    lg2.close()
+
+    with open(tmp_path / "metrics.csv", newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["step"] for r in rows] == ["10", "20", "30"]
+    assert rows[0]["new_key"] == ""  # grown column back-filled empty
+    assert rows[2]["loss"] == "0.25"
