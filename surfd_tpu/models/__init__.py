@@ -18,3 +18,4 @@ from .attention import (
     SpatialTransformer1D,
 )
 from .grid_ae import GridAutoencoder
+from .encoder_unet import AttentionPool1D, EncoderUNet1D, make_classifier_cond_fn

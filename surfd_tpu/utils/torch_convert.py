@@ -207,6 +207,87 @@ def convert_mdm_unet(sd: Dict, model_channels: int = 224,
     return {"params": {"unet": unet}}
 
 
+def convert_encoder_unet(sd: Dict, channel_mult=(1, 2, 4, 4), num_res_blocks: int = 2,
+                         attn_res=(4, 2, 1), pool: str = "attention") -> dict:
+    """Reference EncoderUNetModel state_dict → params for models.EncoderUNet1D.
+
+    Same sequential input_blocks/middle_block numbering as the full UNet
+    (openaimodel.py:808-893); the head depends on `pool` (:899-930). Only the
+    "attention" head is loadable from a dims=1 reference module (the adaptive/
+    spatial heads crash there — see encoder_unet.py docstring), but all four
+    layouts are converted for checkpoints trained with 2-D trunks.
+    """
+
+    def _groupnorm(prefix):
+        return {
+            "GroupNorm_0": {
+                "scale": _np(sd[f"{prefix}.weight"]),
+                "bias": _np(sd[f"{prefix}.bias"]),
+            }
+        }
+
+    def res_params(prefix):
+        return {
+            "GroupNorm32_0": _groupnorm(f"{prefix}.in_layers.0"),
+            "in_conv": _conv3(sd, f"{prefix}.in_layers.2"),
+            "emb_proj": _dense(sd, f"{prefix}.emb_layers.1"),
+            "GroupNorm32_1": _groupnorm(f"{prefix}.out_layers.0"),
+            "out_conv": _conv3(sd, f"{prefix}.out_layers.3"),
+            **(
+                {"skip": _convk(sd, f"{prefix}.skip_connection")}
+                if f"{prefix}.skip_connection.weight" in sd
+                else {}
+            ),
+        }
+
+    def attn_params(prefix):
+        return {
+            "GroupNorm32_0": _groupnorm(f"{prefix}.norm"),
+            "qkv": _convk(sd, f"{prefix}.qkv"),
+            "proj_out": _convk(sd, f"{prefix}.proj_out"),
+        }
+
+    net = {
+        "time_embed_0": _dense(sd, "time_embed.0"),
+        "time_embed_2": _dense(sd, "time_embed.2"),
+        "in_conv": _conv3(sd, "input_blocks.0.0"),
+    }
+    idx, ds = 1, 1
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            net[f"down_{level}_{i}"] = res_params(f"input_blocks.{idx}.0")
+            if ds in attn_res:
+                net[f"down_attn_{level}_{i}"] = attn_params(f"input_blocks.{idx}.1")
+            idx += 1
+        if level != len(channel_mult) - 1:
+            net[f"downsample_{level}"] = {"op": _conv3(sd, f"input_blocks.{idx}.0.op")}
+            idx += 1
+            ds *= 2
+    net["mid_res_0"] = res_params("middle_block.0")
+    net["mid_attn"] = attn_params("middle_block.1")
+    net["mid_res_1"] = res_params("middle_block.2")
+
+    if pool == "adaptive":
+        net["GroupNorm32_0"] = _groupnorm("out.0")
+        net["out_conv"] = _convk(sd, "out.3")
+    elif pool == "attention":
+        net["GroupNorm32_0"] = _groupnorm("out.0")
+        net["attn_pool"] = {
+            # torch stores (C, S+1); ours is (S+1, C)
+            "positional_embedding": _np(sd["out.2.positional_embedding"]).T,
+            "qkv_proj": _convk(sd, "out.2.qkv_proj"),
+            "c_proj": _convk(sd, "out.2.c_proj"),
+        }
+    else:  # spatial: Linear,ReLU,Linear → out.{0,2}; _v2: Linear,GN,SiLU,Linear → out.{0,1,3}
+        net["out_0"] = _dense(sd, "out.0")
+        if pool == "spatial_v2":
+            net["GroupNorm32_0"] = _groupnorm("out.1")
+            net["out_3"] = _dense(sd, "out.3")
+        else:
+            net["out_3"] = _dense(sd, "out.2")
+    return {"params": net}
+
+
 def convert_reference_checkpoints(ae_pt: str = "", model_pt: str = "", out_dir: str = "."):
     """CLI helper: load reference .pt files and write npz param trees."""
     import os

@@ -252,3 +252,58 @@ def test_clip_fp16_checkpoint_conversion(tmp_path):
     for a, b in zip(leaves32, leaves16):
         assert b.dtype == np.float32  # cast-to-fp32 on convert
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_encoder_unet_forward_parity_vs_reference():
+    """Our EncoderUNet1D vs the reference EncoderUNetModel(dims=1) with the
+    one head that works on a 1-D trunk there: pool="attention"
+    (openaimodel.py:906-913; AttentionPool2d's reshape(b,c,-1) is a no-op in
+    1-D, while the adaptive/spatial heads index 2-D axes and crash)."""
+    openaimodel = _load_ref_module("ref_openaimodel", "models/openaimodel.py")
+    from surfd_tpu.models import EncoderUNet1D
+    from surfd_tpu.utils.torch_convert import convert_encoder_unet
+
+    L = 32  # trunk length; ds=2 after one downsample → pooled seq 16
+    torch.manual_seed(0)
+    ref = openaimodel.EncoderUNetModel(
+        image_size=8,  # (8 // ds)**2 == L // ds → positional table matches 1-D
+        in_channels=1,
+        model_channels=32,
+        out_channels=4,
+        num_res_blocks=1,
+        attention_resolutions=(1, 2),
+        channel_mult=(1, 2),
+        dims=1,
+        num_heads=8,
+        num_head_channels=8,
+        pool="attention",
+    ).eval()
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.abs().sum() == 0:  # zero_module'd convs
+                p.add_(torch.randn(p.shape, generator=gen) * 0.05)
+
+    converted = convert_encoder_unet(
+        ref.state_dict(), channel_mult=(1, 2), num_res_blocks=1,
+        attn_res=(1, 2), pool="attention",
+    )
+    ours_mod = EncoderUNet1D(
+        model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=8,
+        num_head_channels=8, pool="attention", seq_len=L,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, L, 1)).astype(np.float32)
+    t = np.array([11, 777], np.int64)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(t)
+        ).numpy()
+    ours = ours_mod.apply(
+        {"params": jax.tree.map(jnp.asarray, converted["params"])},
+        jnp.asarray(x), jnp.asarray(t.astype(np.int32)),
+    )
+    assert ours.shape == ref_out.shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-4)
