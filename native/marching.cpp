@@ -436,6 +436,12 @@ int64_t surfd_mt_emit(
       bool cx = dot(0, 1);
       bool cy[2] = {dot(0, 2), dot(1, 3)};
       bool cz[2][2] = {{dot(0, 4), dot(2, 6)}, {dot(1, 5), dot(3, 7)}};
+      // No crossing on any path edge → every corner keeps parity 0 → all
+      // pseudo-signs positive → case 0 in all six tets. Skip before the 8
+      // scattered udf loads; on learned fields most near-band cubes have
+      // consistently-oriented gradients and die here.
+      if (!(cx | cy[0] | cy[1] | cz[0][0] | cz[0][1] | cz[1][0] | cz[1][1]))
+        continue;
       float vals[8];
       float uraw[8];
       int64_t gids[8];

@@ -73,6 +73,76 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     return ap
 
 
+# Training-time settings that generation must reproduce or the checkpoint
+# will not load (or worse, load into the wrong architecture). Saved key →
+# generation-args attribute. Mirrors the reference's parse_and_load_from_model
+# (/root/reference/utils/parser_util.py:7-20), which re-merges the model/
+# diffusion arg groups from the run dir's args.json over the sampling CLI.
+_DIFFUSION_MERGE_KEYS = {
+    "latent_size": "latent_size",
+    "model_channels": "model_channels",
+    "num_actions": "num_actions",
+    "noise_schedule": "noise_schedule",
+    "diffusion_steps": "diffusion_steps",
+}
+_AE_MERGE_KEYS = {
+    "latent_size": "latent_size",
+    "hidden_dim": "decoder_hidden",
+    "num_hidden_layers": "decoder_layers",
+}
+
+
+def _explicit_cli_keys(argv) -> set:
+    """Attribute names the user explicitly passed on the command line."""
+    if argv is None:
+        argv = sys.argv[1:]
+    keys = set()
+    for tok in argv:
+        if tok.startswith("--"):
+            keys.add(tok[2:].split("=", 1)[0].replace("-", "_"))
+    return keys
+
+
+def merge_saved_args(args, argv=None):
+    """Overlay training-time model args from the run dirs onto `args`.
+
+    Reads `{model_path}/args.json` (written by cli/train_diffusion.py) and
+    `{ae_dir}/args.json` (written by cli/train_ae.py) and overrides the
+    architecture keys the checkpoints were trained with, so sampling a
+    checkpoint trained at non-default dims needs no re-typed flags. Flags the
+    user explicitly passed on the command line win, matching the reference's
+    behavior for its --latent_size overwrite (parser_util.py:15-18).
+    """
+    explicit = _explicit_cli_keys(argv)
+
+    def overlay(run_dir: str, key_map: dict, label: str):
+        path = os.path.join(run_dir, "args.json")
+        if not (run_dir and os.path.isdir(run_dir) and os.path.exists(path)):
+            return
+        import json
+
+        with open(path) as f:
+            saved = json.load(f)
+        for saved_key, attr in key_map.items():
+            if saved_key not in saved or attr in explicit:
+                continue
+            cur = getattr(args, attr, None)
+            if cur != saved[saved_key]:
+                print(
+                    f"[{label} args.json] {attr}: {cur} -> {saved[saved_key]}",
+                    file=sys.stderr,
+                )
+            setattr(args, attr, saved[saved_key])
+        # max_dist changes the UDF the decoder was trained to predict — the
+        # extraction must use the training value (no CLI flag exposes it)
+        if label == "ae" and "max_dist" in saved:
+            args.ae_max_dist = float(saved["max_dist"])
+
+    overlay(getattr(args, "model_path", ""), _DIFFUSION_MERGE_KEYS, "diffusion")
+    overlay(getattr(args, "ae_dir", ""), _AE_MERGE_KEYS, "ae")
+    return args
+
+
 def build_schedule(args):
     from ..diffusion import named_beta_schedule, named_schedule, space_timesteps, spaced_schedule
 
@@ -157,6 +227,7 @@ def run_generation(args, cond_mode: str, context=None, action=None, tag: str = "
         sample_latents,
     )
 
+    merge_saved_args(args)
     sched = build_schedule(args)
     mdm, variables = load_denoiser(args, cond_mode)
     decoder, dec_vars = load_decoder(args)
@@ -187,9 +258,11 @@ def run_generation(args, cond_mode: str, context=None, action=None, tag: str = "
         print(f"grid-query stream sharded over {len(jax.devices())} devices", file=sys.stderr)
 
     os.makedirs(args.output_dir, exist_ok=True)
+    max_dist = getattr(args, "ae_max_dist", 0.1)  # training value via merge_saved_args
     cfg = MeshExtractionConfig(
         resolution=args.resolution,
         max_batch=args.max_batch,
+        max_dist=max_dist,
         min_component_faces=args.min_component_faces,
         final_laplacian_iters=args.smooth_iters,
         mesh=mesh_axes,

@@ -63,6 +63,14 @@ def main():
     fixseed(args.seed)
     np_rng = np.random.default_rng(args.seed)
     os.makedirs(args.save_dir, exist_ok=True)
+    import json
+
+    # args dump (reference train_diffcloth.py:126-130 equivalent) — the
+    # generation CLIs re-merge the architecture keys from this file
+    # (cli/_common.py merge_saved_args), so checkpoints trained at
+    # non-default dims sample correctly with no re-typed flags.
+    with open(os.path.join(args.save_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
 
     dataset = UdfDataset(args.data_root, "train")
     n = len(dataset)

@@ -459,6 +459,9 @@ def _marching_udf_native(
             u, near_mult * voxel, avg_mult * voxel
         )
     t0 = mark("mt_pass1", t0)
+    if times is not None:
+        times["mt_cubes"] = len(cube_ids)
+        times["mt_corners"] = len(near_gids)
     if len(cube_ids) == 0:
         return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
 

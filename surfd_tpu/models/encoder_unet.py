@@ -52,6 +52,10 @@ class AttentionPool1D(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, L, C = x.shape
+        assert C % self.num_head_channels == 0, (
+            f"pool width {C} not divisible by num_head_channels "
+            f"{self.num_head_channels}"
+        )
         num_heads = C // self.num_head_channels
         pos = self.param(
             "positional_embedding",
@@ -158,7 +162,14 @@ class EncoderUNet1D(nn.Module):
         if self.pool == "attention":
             assert self.num_head_channels > 0 and self.seq_len is not None
             h = nn.silu(GroupNorm32()(h))
-            trunk_len = self.seq_len // ds
+            # Downsample1D (k=3, s=2, SAME-style padding) yields ceil(L/2)
+            # per level, so repeated ceil-halving — NOT seq_len // ds —
+            # sizes the positional table for non-power-of-two seq_len.
+            trunk_len = self.seq_len
+            d = ds
+            while d > 1:
+                trunk_len = (trunk_len + 1) // 2
+                d //= 2
             return AttentionPool1D(
                 trunk_len, self.num_head_channels, self.out_channels, name="attn_pool"
             )(h)

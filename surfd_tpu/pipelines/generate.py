@@ -482,19 +482,23 @@ def get_mesh_from_udf(
             )
             if two_tier:
                 # tier 1 (bf16): below + sure masks in one packed download
+                t1 = time.perf_counter()
                 vb = verts_pending()
                 mb = mids_pending()
+                times["ff_t1_fetch"] = round(time.perf_counter() - t1, 3)
                 ok = np.concatenate([vb[0], mb[0]])
                 sure = np.concatenate([vb[1], mb[1]])
                 uns = np.nonzero(sure == 0)[0]
                 stats["ff_unsure"] = int(len(uns))
                 if len(uns):
                     # tier 2 (f32, exact): only the band points re-query
+                    t1 = time.perf_counter()
                     qall = np.concatenate([qverts, qmids])
                     ok[uns] = eval_in_chunks(
                         q16_bound(threshold, lo_, qstep), qall[uns],
                         cfg.max_batch, unpack_bits=True, mesh=cfg.mesh,
                     )
+                    times["ff_t2"] = round(time.perf_counter() - t1, 3)
             else:
                 ok = np.concatenate([verts_pending(), mids_pending()])
         else:

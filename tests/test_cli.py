@@ -62,6 +62,45 @@ def test_category_list_resolution(tmp_path):
     assert base_parser("t").parse_args([]).num_actions == 0
 
 
+def test_merge_saved_args(tmp_path):
+    """Generation re-merges training-time model args from the run dirs'
+    args.json (reference utils/parser_util.py:7-20 parse_and_load_from_model);
+    explicit CLI flags win (its --latent_size overwrite, :15-18)."""
+    import json
+
+    from surfd_tpu.cli._common import base_parser, merge_saved_args
+
+    diff_dir = tmp_path / "diffusion"
+    ae_dir = tmp_path / "ae"
+    diff_dir.mkdir(), ae_dir.mkdir()
+    (diff_dir / "args.json").write_text(json.dumps({
+        "latent_size": 48, "model_channels": 96, "num_actions": 3,
+        "noise_schedule": "linear", "diffusion_steps": 500,
+    }))
+    (ae_dir / "args.json").write_text(json.dumps({
+        "latent_size": 48, "hidden_dim": 256, "num_hidden_layers": 4,
+        "max_dist": 0.2,
+    }))
+
+    argv = ["--model_path", str(diff_dir), "--ae_dir", str(ae_dir)]
+    args = merge_saved_args(base_parser("t").parse_args(argv), argv)
+    assert (args.latent_size, args.model_channels, args.num_actions) == (48, 96, 3)
+    assert (args.noise_schedule, args.diffusion_steps) == ("linear", 500)
+    assert (args.decoder_hidden, args.decoder_layers) == (256, 4)
+    assert args.ae_max_dist == 0.2
+
+    # explicit CLI flags beat the saved args
+    argv = argv + ["--latent_size", "16", "--noise_schedule=cosine"]
+    args = merge_saved_args(base_parser("t").parse_args(argv), argv)
+    assert args.latent_size == 16 and args.noise_schedule == "cosine"
+    assert args.model_channels == 96  # non-explicit keys still merged
+
+    # an npz --model_path or a missing args.json is a silent no-op
+    argv = ["--model_path", str(tmp_path / "w.npz")]
+    args = merge_saved_args(base_parser("t").parse_args(argv), argv)
+    assert args.latent_size == 32 and args.model_channels == 224
+
+
 @pytest.mark.slow
 def test_generate_uncond_smoke(tmp_path):
     r = _run([

@@ -254,6 +254,42 @@ def test_clip_fp16_checkpoint_conversion(tmp_path):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("pool", ["adaptive", "spatial", "spatial_v2"])
+def test_encoder_unet_head_conversion_shapes(pool):
+    """convert_encoder_unet's non-attention head branches produce trees whose
+    shapes match EncoderUNet1D.init exactly (ADVICE r3: only pool='attention'
+    was parity-tested; a key/shape mismatch in the other heads would surface
+    only at a real checkpoint load). The reference heads are dims-agnostic at
+    state_dict level (openaimodel.py:898-930 — adaptive's conv and the
+    spatial Linears size off channels/_feature_size), so a dims=1 reference
+    module gives the authoritative layout even though its forward would crash."""
+    openaimodel = _load_ref_module("ref_openaimodel", "models/openaimodel.py")
+    from surfd_tpu.models import EncoderUNet1D
+    from surfd_tpu.utils.torch_convert import convert_encoder_unet
+
+    torch.manual_seed(0)
+    ref = openaimodel.EncoderUNetModel(
+        image_size=8, in_channels=1, model_channels=32, out_channels=4,
+        num_res_blocks=1, attention_resolutions=(1, 2), channel_mult=(1, 2),
+        dims=1, num_heads=8, num_head_channels=8, pool=pool,
+    )
+    converted = convert_encoder_unet(
+        ref.state_dict(), channel_mult=(1, 2), num_res_blocks=1,
+        attn_res=(1, 2), pool=pool,
+    )
+    ours_mod = EncoderUNet1D(
+        model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=8,
+        num_head_channels=8, pool=pool, seq_len=32,
+    )
+    init = ours_mod.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 1)), jnp.zeros((1,), jnp.int32)
+    )
+    init_shapes = jax.tree.map(lambda a: a.shape, init["params"])
+    conv_shapes = jax.tree.map(lambda a: np.asarray(a).shape, converted["params"])
+    assert init_shapes == conv_shapes
+
+
 def test_encoder_unet_forward_parity_vs_reference():
     """Our EncoderUNet1D vs the reference EncoderUNetModel(dims=1) with the
     one head that works on a 1-D trunk there: pool="attention"
