@@ -447,9 +447,16 @@ def get_mesh_from_udf(
                 cfg.two_tier_band if cfg.two_tier_band is not None
                 else udf_fn.two_tier_band()
             )
-            # a band at/above the threshold means bf16 can't decide anything
-            # reliably below it — single-tier f32 is strictly better then
-            if band >= threshold:
+            # The filter's query points concentrate AT the predicted surface
+            # (mesh vertices/edge midpoints), i.e. exactly where |udf − thr|
+            # is small — so the unsure fraction grows with band/threshold
+            # much faster than a uniform-points intuition suggests (measured
+            # on the bench decoder at 512³: band/thr = 0.51 → 68% of 5.4M
+            # queries unsure → tier 2 re-uploads+re-evaluates most of the
+            # stream and the two-tier path is strictly SLOWER than one f32
+            # pass). Only run two-tier when the band is a small fraction of
+            # the threshold; otherwise single-pass f32 wins.
+            if band >= 0.25 * threshold:
                 two_tier = False
         if pre:
             # uint16 coords (half the upload) + packed-bit mask downloads

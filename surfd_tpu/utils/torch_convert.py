@@ -312,3 +312,188 @@ def convert_reference_checkpoints(ae_pt: str = "", model_pt: str = "", out_dir: 
         save_params_npz(
             os.path.join(out_dir, "mdm_unet.npz"), convert_mdm_unet(sd)
         )
+
+
+# ---------------------------------------------------------------------------
+# Export direction: surfd_tpu trees → reference .pt state-dict layouts
+# (MIGRATION.md's switching guide both ways; the import converters above are
+# the spec — each exporter is their mechanical inverse, and the round-trip
+# ours → state_dict → convert_* is bitwise on every array).
+# ---------------------------------------------------------------------------
+
+
+def _a(x):
+    return np.asarray(x, np.float32)
+
+
+def _exp_dense(out, prefix, p):
+    out[f"{prefix}.weight"] = _a(p["kernel"]).T
+    if "bias" in p:
+        out[f"{prefix}.bias"] = _a(p["bias"])
+
+
+def _exp_conv1x1(out, prefix, p):
+    out[f"{prefix}.weight"] = _a(p["kernel"]).T[:, :, None]
+    if "bias" in p:
+        out[f"{prefix}.bias"] = _a(p["bias"])
+
+
+def _exp_convk(out, prefix, p):
+    out[f"{prefix}.weight"] = _a(p["kernel"]).transpose(2, 1, 0)
+    if "bias" in p:
+        out[f"{prefix}.bias"] = _a(p["bias"])
+
+
+def _exp_bn(out, prefix, params, stats):
+    if params:
+        out[f"{prefix}.weight"] = _a(params["scale"])
+        out[f"{prefix}.bias"] = _a(params["bias"])
+    out[f"{prefix}.running_mean"] = _a(stats["mean"])
+    out[f"{prefix}.running_var"] = _a(stats["var"])
+    # torch BatchNorm1d tracks this buffer; strict load_state_dict wants it
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _exp_groupnorm(out, prefix, p):
+    out[f"{prefix}.weight"] = _a(p["GroupNorm_0"]["scale"])
+    out[f"{prefix}.bias"] = _a(p["GroupNorm_0"]["bias"])
+
+
+def export_dgcnn(variables: Dict) -> Dict[str, np.ndarray]:
+    """models.Dgcnn variables → reference Dgcnn state_dict (numpy values).
+
+    Inverse of convert_dgcnn (reference layout:
+    /root/reference/AutoEncoder/models/dgcnn.py:27-115)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(1, 5):
+        sd[f"conv_{i}.weight"] = _a(params[f"block{i}_conv"]["kernel"]).T
+        _exp_bn(sd, f"bn_{i}", params[f"block{i}_bn"], stats[f"block{i}_bn"])
+    sd["conv_5.weight"] = _a(params["head_conv"]["kernel"]).T
+    _exp_bn(sd, "bn_5", params["head_bn"], stats["head_bn"])
+    return sd
+
+
+def export_cbn_decoder(variables: Dict, num_hidden_layers: int | None = None) -> Dict[str, np.ndarray]:
+    """models.CbnDecoder variables → reference state_dict (cbndec.py:106-134
+    layout, `decoder.*` prefix). Inverse of convert_cbn_decoder.
+    num_hidden_layers defaults to the block count present in the tree."""
+    params, stats = variables["params"], variables["batch_stats"]
+    if num_hidden_layers is None:
+        num_hidden_layers = sum(1 for k in params if k.startswith("block_"))
+    sd: Dict[str, np.ndarray] = {}
+
+    def cbn(prefix, p, s):
+        _exp_conv1x1(sd, f"{prefix}.conv_gamma", p["gamma"])
+        _exp_conv1x1(sd, f"{prefix}.conv_beta", p["beta"])
+        _exp_bn(sd, f"{prefix}.bn", {}, s["bn"])
+
+    _exp_conv1x1(sd, "decoder.fc_p", params["fc_p"])
+    _exp_conv1x1(sd, "decoder.fc_out", params["fc_out"])
+    for i in range(num_hidden_layers):
+        b = f"decoder.blocks.{i}"
+        p, s = params[f"block_{i}"], stats[f"block_{i}"]
+        cbn(f"{b}.bn_0", p["bn_0"], s["bn_0"])
+        cbn(f"{b}.bn_1", p["bn_1"], s["bn_1"])
+        _exp_conv1x1(sd, f"{b}.fc_0", p["fc_0"])
+        _exp_conv1x1(sd, f"{b}.fc_1", p["fc_1"])
+    cbn("decoder.bn", params["bn_out"], stats["bn_out"])
+    return sd
+
+
+def export_mdm_unet(variables: Dict, model_channels: int = 224,
+                    channel_mult=(1, 2, 4, 4), num_res_blocks: int = 2,
+                    prefix: str = "Unet.") -> Dict[str, np.ndarray]:
+    """models.MDM params → reference MDM state_dict (`Unet.*` keys, the
+    layout training_loop_single.py:320-355 saves after stripping CLIP).
+    Inverse of convert_mdm_unet; the CFG null-class embedding row (ours only)
+    is dropped on the way out."""
+    unet = variables["params"]["unet"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def res(prefix_, p):
+        _exp_groupnorm(sd, f"{prefix_}.in_layers.0", p["GroupNorm32_0"])
+        _exp_convk(sd, f"{prefix_}.in_layers.2", p["in_conv"])
+        _exp_dense(sd, f"{prefix_}.emb_layers.1", p["emb_proj"])
+        _exp_groupnorm(sd, f"{prefix_}.out_layers.0", p["GroupNorm32_1"])
+        _exp_convk(sd, f"{prefix_}.out_layers.3", p["out_conv"])
+        if "skip" in p:
+            _exp_convk(sd, f"{prefix_}.skip_connection", p["skip"])
+
+    def attn(prefix_, p):
+        _exp_groupnorm(sd, f"{prefix_}.norm", p["GroupNorm32_0"])
+        _exp_convk(sd, f"{prefix_}.qkv", p["qkv"])
+        _exp_convk(sd, f"{prefix_}.proj_out", p["proj_out"])
+
+    _exp_dense(sd, "time_embed.0", unet["time_embed_0"])
+    _exp_dense(sd, "time_embed.2", unet["time_embed_2"])
+    _exp_convk(sd, "input_blocks.0.0", unet["in_conv"])
+    _exp_groupnorm(sd, "out.0", unet["GroupNorm32_0"])
+    _exp_convk(sd, "out.2", unet["out_conv"])
+    if "label_emb" in unet:
+        # drop our reserved null-class row (convert_mdm_unet pads it back)
+        sd["label_emb.weight"] = _a(unet["label_emb"]["embedding"])[:-1]
+    if "context_proj" in unet:
+        _exp_dense(sd, "sketch_emb", unet["context_proj"])
+
+    idx, ds = 1, 1
+    attn_res = (4, 2, 1)
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            res(f"input_blocks.{idx}.0", unet[f"down_{level}_{i}"])
+            if ds in attn_res:
+                attn(f"input_blocks.{idx}.1", unet[f"down_attn_{level}_{i}"])
+            idx += 1
+        if level != len(channel_mult) - 1:
+            _exp_convk(sd, f"input_blocks.{idx}.0.op", unet[f"downsample_{level}"]["op"])
+            idx += 1
+            ds *= 2
+
+    res("middle_block.0", unet["mid_res_0"])
+    attn("middle_block.1", unet["mid_attn"])
+    res("middle_block.2", unet["mid_res_1"])
+
+    idx = 0
+    for level in reversed(range(len(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            res(f"output_blocks.{idx}.0", unet[f"up_{level}_{i}"])
+            pos = 1
+            if ds in attn_res:
+                attn(f"output_blocks.{idx}.{pos}", unet[f"up_attn_{level}_{i}"])
+                pos += 1
+            if level and i == num_res_blocks:
+                _exp_convk(sd, f"output_blocks.{idx}.{pos}.conv", unet[f"upsample_{level}"]["conv"])
+                ds //= 2
+            idx += 1
+
+    return {prefix + k: v for k, v in sd.items()} if prefix else sd
+
+
+def export_reference_checkpoints(ae_vars=None, mdm_vars=None, out_dir: str = ".",
+                                 **mdm_kw):
+    """Write reference-layout .pt files from our trees (reverse of
+    convert_reference_checkpoints): ae.pt with {'encoder','decoder'} state
+    dicts, model.pt with `Unet.*` keys."""
+    import os
+
+    import torch
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+
+    def to_torch(sd):
+        return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+
+    if ae_vars is not None:
+        enc_vars, dec_vars = ae_vars
+        ck = {}
+        if enc_vars is not None:
+            ck["encoder"] = to_torch(export_dgcnn(enc_vars))
+        if dec_vars is not None:
+            ck["decoder"] = to_torch(export_cbn_decoder(dec_vars))
+        paths["ae"] = os.path.join(out_dir, "ae.pt")
+        torch.save(ck, paths["ae"])
+    if mdm_vars is not None:
+        paths["model"] = os.path.join(out_dir, "model.pt")
+        torch.save(to_torch(export_mdm_unet(mdm_vars, **mdm_kw)), paths["model"])
+    return paths
