@@ -157,8 +157,9 @@ def main():
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--fit-steps", type=int, default=2500)
     ap.add_argument("--latent-size", type=int, default=32)
-    ap.add_argument("--max-runs", type=int, default=4,
-                    help="max extraction runs (first doubles as warm-up)")
+    ap.add_argument("--max-runs", type=int, default=8,
+                    help="max extraction runs (first doubles as warm-up); the "
+                         "budget check stops early when time runs short")
     args = ap.parse_args()
 
     threading.Thread(target=_heartbeat, daemon=True).start()

@@ -30,11 +30,33 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <vector>
 
 #include "radix.h"
 
 namespace {
+
+// Process-lifetime scratch arena (same rationale as marching.cpp's
+// EmitArena): the prep/finalize passes allocate ~250 MB of vectors per
+// extraction; per-call malloc interleaved with the pipeline's numpy
+// buffers fragments the never-trimmed heap and re-pays first-touch page
+// faults every run. Buffers are cleared (capacity retained) per call.
+// g_mu serializes entry points against the (default-off) depth-2 pipelined
+// extraction overlapping two calls.
+struct PostArena {
+  std::vector<surfd::KV> kv, radix_tmp;
+  std::vector<uint32_t> radix_count;
+  std::vector<int64_t> ea, eb, owner, kept, remap, f2, einv2;
+  std::vector<int32_t> counts;
+  std::vector<float> v2, v3;
+  std::vector<int64_t> vmap, rep;
+};
+PostArena& parena() {
+  static PostArena a;
+  return a;
+}
+std::mutex g_mu;
 
 // Unique undirected edges of a face soup via one radix sort.
 // keys[slot] = lo*(V+1)+hi for slot = f*3+k. Fills:
@@ -42,12 +64,19 @@ namespace {
 //   edges       -> (a, b) per unique edge (a < b), ascending key order
 //   counts      -> faces per edge
 //   owner       -> face id of ONE face using the edge (the last in sort order)
+// ea/eb/counts/owner are CLEARED here (arena-friendly).
 void unique_edges(const int64_t* faces, int64_t F, int64_t V,
                   int64_t* einv, std::vector<int64_t>& ea,
                   std::vector<int64_t>& eb, std::vector<int32_t>& counts,
                   std::vector<int64_t>& owner) {
+  ea.clear();
+  eb.clear();
+  counts.clear();
+  owner.clear();
   const uint64_t NV = (uint64_t)V + 1;
-  std::vector<surfd::KV> kv((size_t)F * 3);
+  PostArena& P = parena();
+  auto& kv = P.kv;
+  kv.resize((size_t)F * 3);
   for (int64_t f = 0; f < F; ++f) {
     const int64_t* tri = faces + f * 3;
     for (int k = 0; k < 3; ++k) {
@@ -56,7 +85,7 @@ void unique_edges(const int64_t* faces, int64_t F, int64_t V,
       kv[f * 3 + k] = {(uint64_t)a * NV + (uint64_t)b, f * 3 + k};
     }
   }
-  surfd::radix_sort_kv(kv, NV * NV);
+  surfd::radix_sort_kv(kv, NV * NV, P.radix_tmp, P.radix_count);
   int64_t eid = -1;
   uint64_t prev = UINT64_MAX;
   for (auto& p : kv) {
@@ -184,7 +213,9 @@ void cleanup_core(std::vector<float>& v2, std::vector<int64_t>& f2,
   int64_t V2m = V2;
   if (merge_decimals > 0 && V2) {
     const double scale = std::pow(10.0, merge_decimals);
-    std::vector<surfd::KV> kv((size_t)V2);
+    PostArena& P = parena();
+    auto& kv = P.kv;  // unique_edges' use of P.kv is dead by this point
+    kv.resize((size_t)V2);
     for (int64_t v = 0; v < V2; ++v) {
       uint64_t key = 0;
       for (int k = 0; k < 3; ++k) {
@@ -193,9 +224,11 @@ void cleanup_core(std::vector<float>& v2, std::vector<int64_t>& f2,
       }
       kv[v] = {key, v};
     }
-    surfd::radix_sort_kv(kv, UINT64_MAX >> 1);
-    std::vector<int64_t> vmap((size_t)V2);
-    std::vector<int64_t> rep;  // representative old id per merged vertex
+    surfd::radix_sort_kv(kv, UINT64_MAX >> 1, P.radix_tmp, P.radix_count);
+    auto& vmap = P.vmap;
+    vmap.resize((size_t)V2);
+    auto& rep = P.rep;  // representative old id per merged vertex
+    rep.clear();
     uint64_t prev = UINT64_MAX;
     int64_t gid = -1;
     for (auto& p : kv) {
@@ -209,7 +242,8 @@ void cleanup_core(std::vector<float>& v2, std::vector<int64_t>& f2,
       vmap[p.val] = gid;
     }
     int64_t V3 = gid + 1;
-    std::vector<float> v3((size_t)V3 * 3);
+    auto& v3 = P.v3;
+    v3.resize((size_t)V3 * 3);
     for (int64_t i = 0; i < V3; ++i) std::memcpy(&v3[i * 3], &v2[rep[i] * 3], 12);
     int64_t w = 0;
     for (int64_t f = 0; f < F2; ++f) {
@@ -279,11 +313,13 @@ extern "C" {
 int64_t surfd_face_filter_prep(
     const float* verts, int64_t V, const int64_t* faces, int64_t F,
     float** out_pts, int64_t** out_einv) {
+  std::lock_guard<std::mutex> lk(g_mu);
   int64_t* einv = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(F * 3, 3));
-  std::vector<int64_t> ea, eb, owner;
-  std::vector<int32_t> counts;
-  ea.reserve(F * 2);
-  eb.reserve(F * 2);
+  PostArena& P = parena();
+  auto& ea = P.ea;
+  auto& eb = P.eb;
+  auto& owner = P.owner;
+  auto& counts = P.counts;
   unique_edges(faces, F, V, einv, ea, eb, counts, owner);
   const int64_t E = (int64_t)ea.size();
   float* pts = (float*)std::malloc(sizeof(float) * 3 * std::max<int64_t>(V + E, 1));
@@ -314,11 +350,13 @@ int64_t surfd_face_filter_prep_q16(
     float qlo, float qinv,
     uint16_t** out_qpts, int64_t** out_einv,
     int64_t** out_ea, int64_t** out_eb) {
+  std::lock_guard<std::mutex> lk(g_mu);
   int64_t* einv = (int64_t*)std::malloc(sizeof(int64_t) * std::max<int64_t>(F * 3, 3));
-  std::vector<int64_t> ea, eb, owner;
-  std::vector<int32_t> counts;
-  ea.reserve(F * 2);
-  eb.reserve(F * 2);
+  PostArena& P = parena();
+  auto& ea = P.ea;
+  auto& eb = P.eb;
+  auto& owner = P.owner;
+  auto& counts = P.counts;
   unique_edges(faces, F, V, einv, ea, eb, counts, owner);
   const int64_t E = (int64_t)ea.size();
   uint16_t* qpts = (uint16_t*)std::malloc(sizeof(uint16_t) * 3 * std::max<int64_t>(E, 1));
@@ -350,16 +388,26 @@ void surfd_finalize_mesh(
     const uint8_t* ok, const int64_t* einv,
     int32_t fill_holes, int32_t smooth_iters, float lam, int32_t merge_decimals,
     float** out_verts, int64_t* out_nv, int64_t** out_faces, int64_t* out_nf) {
-  std::vector<int64_t> kept, remap, f2;
-  std::vector<float> v2;
+  std::lock_guard<std::mutex> lk(g_mu);
+  PostArena& P = parena();
+  auto& kept = P.kept;
+  auto& remap = P.remap;
+  auto& f2 = P.f2;
+  auto& v2 = P.v2;
+  kept.clear();
+  f2.clear();
   int64_t V2, F2;
   keep_and_remap(verts, V, faces, F, ok, einv, kept, remap, v2, f2, V2, F2);
 
   // --- 3. edge structure of the filtered mesh ---
-  std::vector<int64_t> einv2((size_t)F2 * 3);
-  std::vector<int64_t> ea, eb, owner;
-  std::vector<int32_t> counts;
+  auto& einv2 = P.einv2;
+  einv2.resize((size_t)F2 * 3);
+  auto& ea = P.ea;
+  auto& eb = P.eb;
+  auto& owner = P.owner;
+  auto& counts = P.counts;
   if (F2) unique_edges(f2.data(), F2, V2, einv2.data(), ea, eb, counts, owner);
+  else { ea.clear(); eb.clear(); counts.clear(); owner.clear(); }
 
   cleanup_core(v2, f2, V2, F2, ea, eb, counts, owner,
                fill_holes, smooth_iters, lam, merge_decimals,
@@ -378,14 +426,22 @@ void surfd_finalize_mesh_pre(
     const int64_t* ea_in, const int64_t* eb_in, int64_t E,
     int32_t fill_holes, int32_t smooth_iters, float lam, int32_t merge_decimals,
     float** out_verts, int64_t* out_nv, int64_t** out_faces, int64_t* out_nf) {
-  std::vector<int64_t> kept, remap, f2;
-  std::vector<float> v2;
+  std::lock_guard<std::mutex> lk(g_mu);
+  PostArena& P = parena();
+  auto& kept = P.kept;
+  auto& remap = P.remap;
+  auto& f2 = P.f2;
+  auto& v2 = P.v2;
+  kept.clear();
+  f2.clear();
   int64_t V2, F2;
   keep_and_remap(verts, V, faces, F, ok, einv, kept, remap, v2, f2, V2, F2);
 
   // --- 3'. filtered-mesh edge structure by bincount (linear, no sort) ---
-  std::vector<int32_t> counts((size_t)E, 0);
-  std::vector<int64_t> owner((size_t)E, -1);
+  auto& counts = P.counts;
+  counts.assign((size_t)E, 0);
+  auto& owner = P.owner;
+  owner.assign((size_t)E, -1);
   for (int64_t i = 0; i < F2; ++i) {
     const int64_t* ei = einv + kept[i] * 3;
     for (int k = 0; k < 3; ++k) {
@@ -393,7 +449,10 @@ void surfd_finalize_mesh_pre(
       owner[ei[k]] = i;
     }
   }
-  std::vector<int64_t> ea((size_t)E), eb((size_t)E);
+  auto& ea = P.ea;
+  ea.resize((size_t)E);
+  auto& eb = P.eb;
+  eb.resize((size_t)E);
   for (int64_t e = 0; e < E; ++e) {
     // edges absent from the filtered mesh (counts 0) are never read by the
     // core; their endpoints may be dropped vertices (remap -1)

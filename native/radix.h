@@ -22,7 +22,12 @@ struct KV {
 // 33-bit keys 17-bit/2-pass 0.142 s vs 0.170 s; 32-bit keys 16-bit/2-pass
 // 0.126 s vs 0.185 s. Wider (2^20 buckets / 2 passes on 40-bit) loses:
 // the count array stops fitting in cache.
-inline void radix_sort_kv(std::vector<KV>& kv, uint64_t max_key) {
+//
+// The scratch overload reuses caller-owned tmp/count buffers across calls —
+// per-call allocation of the ~60 MB tmp buffer re-pays first-touch page
+// faults every extraction on this VM (see marching.cpp surfd_malloc_tune).
+inline void radix_sort_kv(std::vector<KV>& kv, uint64_t max_key,
+                          std::vector<KV>& tmp, std::vector<uint32_t>& count) {
   const size_t n = kv.size();
   if (n < 2) return;
   int nbits = 1;
@@ -31,8 +36,8 @@ inline void radix_sort_kv(std::vector<KV>& kv, uint64_t max_key) {
   const int passes = (nbits + max_digit - 1) / max_digit;
   const int bits = (nbits + passes - 1) / passes;  // smallest width, same passes
   const size_t buckets = (size_t)1 << bits;
-  std::vector<KV> tmp(n);
-  std::vector<uint32_t> count(buckets);
+  if (tmp.size() < n) tmp.resize(n);
+  if (count.size() < buckets) count.resize(buckets);
   KV* src = kv.data();
   KV* dst = tmp.data();
   for (int p = 0; p < passes; ++p) {
@@ -50,6 +55,12 @@ inline void radix_sort_kv(std::vector<KV>& kv, uint64_t max_key) {
     std::swap(src, dst);
   }
   if (src != kv.data()) std::memcpy(kv.data(), src, n * sizeof(KV));
+}
+
+inline void radix_sort_kv(std::vector<KV>& kv, uint64_t max_key) {
+  std::vector<KV> tmp;
+  std::vector<uint32_t> count;
+  radix_sort_kv(kv, max_key, tmp, count);
 }
 
 }  // namespace surfd

@@ -27,14 +27,14 @@ import pytest
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "slow: subprocess CLI smoke tests (run with SURFD_RUN_SLOW=1)"
+        "markers", "slow: slow-tier tests — CLI subprocess smokes, the e2e workflow, the 64³ vote-BFS sweep (run with SURFD_RUN_SLOW=1)"
     )
 
 
 def pytest_collection_modifyitems(config, items):
     if os.environ.get("SURFD_RUN_SLOW"):
         return
-    skip = pytest.mark.skip(reason="slow CLI smoke test; set SURFD_RUN_SLOW=1")
+    skip = pytest.mark.skip(reason="slow-tier test; set SURFD_RUN_SLOW=1")
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
