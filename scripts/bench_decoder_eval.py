@@ -1,10 +1,14 @@
 """Decoder-eval shootout on the real TPU (VERDICT r1 weak #2 / next #5).
 
-Compares, at 512³-extraction tile sizes, the three ways to evaluate the CBN
+Compares, at 512³-extraction tile sizes, the ways to evaluate the CBN
 decoder on a batch of query points:
   a) current pipeline path: CbnDecoder.apply (f32, XLA)
   b) folded XLA (bf16 matmuls, per-latent constant-folded CBN affines)
-  c) folded Pallas kernel (weights resident in VMEM across tiles)
+  c) folded XLA mixed (bf16 MXU / f32 VPU chain)
+The retired Pallas kernel's sweep results (it lost to (b) on every
+configuration — v1 serial, v2 multi-stream ILP, v2 bf16 chain) are recorded
+in surfd_tpu/ops/decoder_kernel.py's module docstring; the kernels
+themselves live in git history before the retirement commit.
 
 Usage: python scripts/bench_decoder_eval.py [P_log2=19]
 """
@@ -22,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from surfd_tpu.models.decoder import CbnDecoder, CoordsEncoder, udf_from_logits
-from surfd_tpu.ops.decoder_kernel import fold_decoder, folded_udf, folded_udf_mixed, pallas_folded_udf
+from surfd_tpu.ops.decoder_kernel import fold_decoder, folded_udf, folded_udf_mixed
 
 LATENT = 32
 HID = 512
@@ -52,7 +56,6 @@ def main(p_log2: int = 19):
         variables, l = args
         return folded_udf(fold_decoder(variables, l, 0.1), p)
 
-    folded = jax.jit(lambda v, l: fold_decoder(v, l, 0.1))(dvars, lat)
 
     # All compute chained inside ONE jit over (K, chunk, 3) slabs; only a
     # scalar comes back. Timing whole-array returns through the axon tunnel
@@ -85,21 +88,12 @@ def main(p_log2: int = 19):
     timeit("current (f32 XLA)", current, (dvars, lat), jnp.asarray(slabs))
     timeit("folded  (bf16 XLA)", folded_xla, (dvars, lat), jnp.asarray(slabs))
     timeit("folded  (mixed XLA)", folded_mix, (dvars, lat), jnp.asarray(slabs))
-    for tile in (1024, 2048):
-        if P % tile == 0:
-            pf = jax.jit(
-                lambda s, t=tile: pallas_folded_udf(folded, s.reshape(-1, 3), tile=t).sum()
-            )
-            timeit(f"pallas  (tile {tile})", pf, jnp.asarray(slabs))
-
     # numerical sanity: bf16 folded vs f32 current
     a = np.asarray(jax.jit(current_one)((dvars, lat), pts[:65536]))
     b = np.asarray(jax.jit(folded_one)((dvars, lat), pts[:65536]))
-    c = np.asarray(pallas_folded_udf(folded, pts[:65536], tile=1024))
     m = np.asarray(jax.jit(mixed_one)((dvars, lat), pts[:65536]))
     print(f"max |folded_xla - current| = {np.abs(a-b).max():.2e} (max_dist 0.1)")
     print(f"max |folded_mix - current| = {np.abs(a-m).max():.2e}")
-    print(f"max |pallas     - current| = {np.abs(a-c).max():.2e}")
 
 
 if __name__ == "__main__":

@@ -9,7 +9,7 @@ Layers (mirrors SURVEY.md §1, re-architected TPU-first):
                 scan-based samplers, respacing, schedule samplers)
   models/     — Flax denoiser (1-D UNet + MDM facade), AE (DGCNN encoder,
                 CBN decoder, coords encoder), CFG wrapper, CLIP
-  ops/        — Pallas TPU kernels (fused grid-decoder eval, kNN, attention)
+  ops/        — fused folded-decoder grid evaluation (XLA; Pallas variant retired on measurement)
   geometry/   — grid filler, UDF marching (vectorized), mesh cleanup, OBJ I/O
   data/       — UDF datasets, preprocessing (mesh→UDF), curriculum samplers
   parallel/   — device mesh + sharding helpers (pjit/shard_map over ICI)

@@ -1,4 +1,4 @@
-"""Fused UDF-decoder grid evaluation (folded MLP + Pallas TPU kernel).
+"""Fused UDF-decoder grid evaluation (inference-folded MLP).
 
 The hot inference op (SURVEY.md §6: up to 1.34e8 decoder evaluations per 512³
 extraction; reference loop at /root/reference/meshudf/meshudf.py:123-206 with
@@ -12,24 +12,45 @@ latent the whole decoder folds into:
     for each block: x ← x + W₂ᵀ·relu(a₂⊙(W₁ᵀ·relu(a₁⊙x + c₁) + b₁) + c₂)
     udf = (1 − σ(w_outᵀ·relu(a_out⊙x + c_out) + b_out)) · max_dist
 
-`fold_decoder` precomputes the affine vectors once per latent; the Pallas
-kernel then streams point tiles from HBM while all weights (≈2.9 M params)
-stay resident in VMEM across the whole grid — one kernel, no intermediate
-HBM round trips. Matmuls run on the MXU in bf16 with f32 accumulation
-(`preferred_element_type`); the positional encoding is computed in f32 (sin
-at frequency 2⁹ needs full input precision).
+`fold_decoder` precomputes the affine vectors once per latent; `folded_udf`
+evaluates the folded MLP with bf16 MXU matmuls (f32 accumulation via
+`preferred_element_type`); the positional encoding is computed in f32 (sin at
+frequency 2⁹ needs full input precision).
+
+Pallas retirement record (VERDICT r3 next #7 — "make it win or retire it").
+A hand-written Pallas kernel for this op (weights DMA'd to VMEM once and held
+resident across the point-tile grid; statically unrolled layer loop) was
+built, profiled, and retired after two optimization rounds, because plain XLA
+is faster on every configuration tried:
+
+    round 3 (lightly loaded v5e, 4.19M pts): XLA bf16 23.7 Mpts/s,
+      XLA f32 17.4, Pallas v1 13.3
+    round 4 (same-session sweep, 0.52M pts, co-tenant load): XLA bf16 12.0,
+      XLA f32 9.9, Pallas v1 7.7-8.3, Pallas v2 with 2-4 interleaved
+      point-streams (ILP across the MXU/VPU boundary) 8.5-8.8, v2 with a
+      bf16 affine/relu chain 8.5-8.6 — every variant below the XLA floor.
+
+Why XLA wins here: the folded chain is 11 back-to-back (T,512)x(512,512)
+matmuls with elementwise affines between them. XLA fuses each affine into the
+adjacent matmul and software-pipelines HBM point-tile fetches against MXU
+work across *large* blocks; the kernel's per-tile schedule (even with
+multi-stream ILP) cannot beat that, and the weights (5.2 MB bf16) already fit
+in cache-resident VMEM under XLA's own tiling — the "weights resident in
+VMEM" advantage the kernel was built for is one XLA already has at this size.
+The sweep harness lives in scripts/bench_decoder_eval.py. The v1 kernel and
+the interpret-mode Pallas attention kernel survive in git history before the
+retirement commit; v2 (a v1 fork whose tile is split into `streams`
+sub-batches with the 11-matmul chains emitted interleaved, optionally with
+the affine/relu chain in bf16) was a working-tree experiment recorded by the
+numbers above.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 class FoldedDecoder(NamedTuple):
@@ -94,10 +115,7 @@ def fold_decoder(decoder_vars, latent: jnp.ndarray, max_dist: float = 0.1) -> Fo
 
 def posenc_f32(pts: jnp.ndarray, num_freqs: int = 10, max_freq_log2: int = 9):
     """NeRF positional encoding, [x, sin(f·x), cos(f·x), ...] order
-    (decoder.py CoordsEncoder parity).
-
-    Frequencies are STATIC python floats (a traced linspace would lower to an
-    f32 iota, which Mosaic rejects inside Pallas kernels)."""
+    (decoder.py CoordsEncoder parity). Frequencies are static python floats."""
     freqs = [
         float(2.0 ** (max_freq_log2 * i / (num_freqs - 1))) for i in range(num_freqs)
     ]
@@ -109,7 +127,7 @@ def posenc_f32(pts: jnp.ndarray, num_freqs: int = 10, max_freq_log2: int = 9):
 
 
 def folded_udf(folded: FoldedDecoder, pts: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Plain-XLA folded evaluation (the baseline the kernel must beat)."""
+    """Folded evaluation — the production grid-fill path (bf16 default)."""
     L = folded.w1.shape[0]
     x = posenc_f32(pts).astype(dtype) @ folded.w_in.astype(dtype) + folded.b_in.astype(dtype)
     for i in range(L):
@@ -143,160 +161,14 @@ def folded_udf_mixed(folded: FoldedDecoder, pts: jnp.ndarray) -> jnp.ndarray:
     return (1.0 - jax.nn.sigmoid(logit)) * folded.max_dist
 
 
-def _decoder_kernel(
-    # inputs
-    pts_ref,      # (T, 3) f32 point tile (VMEM, pipelined per grid step)
-    win_ref,      # (64, H) bf16 in HBM (63 zero-padded to the sublane size)
-    bin_ref,      # (1, H) f32 VMEM
-    aff_ref,      # (6, L, H) f32 VMEM: a1, c1, b1, a2, c2, b2 stacked
-    w1_ref,       # (L, H, H) bf16 HBM
-    w2_ref,       # (L, H, H) bf16 HBM
-    aout_ref, cout_ref,  # (1, H) f32 VMEM
-    wout_ref,     # (H, 128) bf16 VMEM (col 0 real)
-    scal_ref,     # (1, 2) f32 SMEM: [b_out, max_dist]
-    # outputs
-    out_ref,      # (T,) f32
-    # scratch (persists across grid steps)
-    win_s,        # (64, H) bf16 VMEM
-    w1_s,         # (L, H, H) bf16 VMEM
-    w2_s,         # (L, H, H) bf16 VMEM
-    sem,          # DMA semaphores (3,)
-):
-    L = w1_s.shape[0]
-
-    # Copy all weights HBM→VMEM ONCE; scratch persists across the grid, so
-    # every later tile reuses the resident copies (the v1 kernel re-DMA'd
-    # 5.8 MB of weights per 1024-point tile and ran 2× slower than XLA).
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        pltpu.make_async_copy(win_ref, win_s, sem.at[0]).start()
-        pltpu.make_async_copy(w1_ref, w1_s, sem.at[1]).start()
-        pltpu.make_async_copy(w2_ref, w2_s, sem.at[2]).start()
-        pltpu.make_async_copy(win_ref, win_s, sem.at[0]).wait()
-        pltpu.make_async_copy(w1_ref, w1_s, sem.at[1]).wait()
-        pltpu.make_async_copy(w2_ref, w2_s, sem.at[2]).wait()
-
-    pts = pts_ref[:]  # (T, 3) f32
-    emb = posenc_f32(pts)  # (T, 63) f32 on the VPU
-    emb = jnp.pad(emb, ((0, 0), (0, 1)))  # → (T, 64) matching win padding
-    x = (
-        jnp.dot(emb.astype(jnp.bfloat16), win_s[:], preferred_element_type=jnp.float32)
-        + bin_ref[:]
-    )
-
-    # statically unrolled layer loop: dynamic (L, H, H) slicing would force
-    # per-iteration VMEM copies and defeat Mosaic's scheduling
-    for i in range(L):
-        h = jnp.maximum(x * aff_ref[0, i] + aff_ref[1, i], 0.0)
-        h = jnp.dot(h.astype(jnp.bfloat16), w1_s[i], preferred_element_type=jnp.float32)
-        h = h + aff_ref[2, i]
-        h = jnp.maximum(h * aff_ref[3, i] + aff_ref[4, i], 0.0)
-        dx = jnp.dot(h.astype(jnp.bfloat16), w2_s[i], preferred_element_type=jnp.float32)
-        x = x + dx + aff_ref[5, i]
-    h = jnp.maximum(x * aout_ref[:] + cout_ref[:], 0.0)
-    logit = jnp.dot(h.astype(jnp.bfloat16), wout_ref[:], preferred_element_type=jnp.float32)
-    logit = logit[:, 0] + scal_ref[0, 0]
-    out_ref[:] = (1.0 - jax.nn.sigmoid(logit)) * scal_ref[0, 1]
-
-
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def pallas_folded_udf(
-    folded: FoldedDecoder, pts: jnp.ndarray, tile: int = 1024, interpret: bool = False
-):
-    """Pallas evaluation: weights copied to VMEM once, point tiles streamed.
-
-    pts: (P, 3) with P a multiple of `tile`. Weights are bf16 (≈5.3 MB VMEM
-    scratch for the 512×5 configuration); matmuls accumulate in f32.
-    `interpret=True` runs the kernel in the Pallas interpreter (CPU tests).
-
-    Measured on TPU v5e (scripts/bench_decoder_eval.py, 4.19M points,
-    512×5 decoder): 13.3 Mpts/s vs 23.7 Mpts/s for the pure-bf16 XLA
-    `folded_udf` and 17.4 Mpts/s for the f32 `decoder.apply` path — the
-    workload is VPU-bound (affine/relu chain between matmuls), which XLA
-    overlaps across large blocks better than this kernel's per-tile serial
-    schedule. The XLA path therefore remains the pipeline default; the
-    kernel is kept as the VMEM-resident-weights reference implementation.
-    """
-    P = pts.shape[0]
-    assert P % tile == 0, f"P={P} must be a multiple of tile={tile}"
-    H = folded.w_in.shape[1]
-    L = folded.w1.shape[0]
-    bf = lambda a: a.astype(jnp.bfloat16)
-    f32row = lambda a: a.astype(jnp.float32).reshape(1, H)
-
-    win = jnp.zeros((64, H), jnp.bfloat16).at[:63].set(bf(folded.w_in))
-    wout = jnp.zeros((H, 128), jnp.bfloat16).at[:, 0].set(bf(folded.w_out[:, 0]))
-    aff = jnp.stack(
-        [folded.a1, folded.c1, folded.b1, folded.a2, folded.c2, folded.b2]
-    ).astype(jnp.float32)  # (6, L, H)
-    scal = jnp.stack(
-        [folded.b_out.reshape(()).astype(jnp.float32), jnp.float32(folded.max_dist)]
-    ).reshape(1, 2)
-
-    grid = (P // tile,)
-    kw = {"interpret": True} if interpret else {}
-    vmem_const = lambda shape: pl.BlockSpec(
-        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
-    )
-    hbm_const = lambda shape: pl.BlockSpec(
-        shape, lambda i: tuple(0 for _ in shape), memory_space=pl.ANY
-    )
-    out = pl.pallas_call(
-        _decoder_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            hbm_const((64, H)),
-            vmem_const((1, H)),
-            vmem_const((6, L, H)),
-            hbm_const((L, H, H)),
-            hbm_const((L, H, H)),
-            vmem_const((1, H)), vmem_const((1, H)),
-            vmem_const((H, 128)),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P,), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((64, H), jnp.bfloat16),
-            pltpu.VMEM((L, H, H), jnp.bfloat16),
-            pltpu.VMEM((L, H, H), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # weight scratch (2×L·H² bf16 ≈ 5.2 MB) + f32 activation buffers
-            # for the unrolled layer loop exceed the 16 MB scoped default at
-            # tile ≥ 1024; the chip has 128 MB VMEM
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        **kw,
-    )(
-        pts.astype(jnp.float32),
-        win,
-        f32row(folded.b_in),
-        aff,
-        bf(folded.w1),
-        bf(folded.w2),
-        f32row(folded.a_out), f32row(folded.c_out),
-        wout,
-        scal,
-    )
-    return out
-
-
-def make_fused_udf_fn(decoder_vars, latent, max_dist: float = 0.1, tile: int = 1024, use_pallas: bool = True):
+def make_fused_udf_fn(decoder_vars, latent, max_dist: float = 0.1):
     """Drop-in udf_fn closure built on the folded decoder.
 
     Same contract as pipelines.make_udf_fn (udf_fn + .grad_fn + .below_fn)
     so get_mesh_from_udf can consume it directly.
     """
     folded = fold_decoder(decoder_vars, jnp.asarray(latent), max_dist)
-
-    if use_pallas:
-        base = lambda pts: pallas_folded_udf(folded, pts, tile=tile)
-    else:
-        base = jax.jit(lambda pts: folded_udf(folded, pts))
+    base = jax.jit(lambda pts: folded_udf(folded, pts))
 
     # Gradient via the XLA folded path (f32 weights for accuracy; the sign of
     # ∂udf is what marching consumes).
@@ -309,9 +181,7 @@ def make_fused_udf_fn(decoder_vars, latent, max_dist: float = 0.1, tile: int = 1
 
     @jax.jit
     def below_fn_impl(pts, thr):
-        return (pallas_folded_udf(folded, pts, tile=tile) <= thr).astype(jnp.uint8) if use_pallas else (
-            folded_udf(folded, pts) <= thr
-        ).astype(jnp.uint8)
+        return (folded_udf(folded, pts) <= thr).astype(jnp.uint8)
 
     udf_fn = lambda pts: base(pts)
     udf_fn.grad_fn = grad_fn

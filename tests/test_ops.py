@@ -1,4 +1,4 @@
-"""Fused decoder kernel tests: fold correctness + Pallas (interpret) parity."""
+"""Folded-decoder evaluation tests: fold correctness + precision tiers."""
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +46,7 @@ def test_folded_bf16_close(decoder_setup):
 
 def test_fused_udf_fn_contract(decoder_setup):
     decoder, ce, variables, latent = decoder_setup
-    fn = make_fused_udf_fn(variables, latent[0], use_pallas=False)
+    fn = make_fused_udf_fn(variables, latent[0])
     pts = jax.random.uniform(jax.random.PRNGKey(5), (128, 3), minval=-1, maxval=1)
     u = np.asarray(fn(pts))
     assert u.shape == (128,)
@@ -64,37 +64,6 @@ def test_fused_udf_fn_contract(decoder_setup):
     _, vjp = jax.vjp(flax_udf, pts)
     (g_ref,) = vjp(jnp.ones(pts.shape[0]))
     np.testing.assert_allclose(g, np.asarray(g_ref), atol=1e-4)
-
-
-def test_pallas_attention_matches_xla_interpret():
-    from surfd_tpu.models.layers import qkv_attention
-    from surfd_tpu.ops.attention_kernel import pallas_qkv_attention
-
-    qkv = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 3 * 8 * 16))
-    ref = qkv_attention(qkv, num_heads=8)
-    out = pallas_qkv_attention(qkv, num_heads=8, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
-
-
-def test_pallas_folded_udf_interpret_matches_decoder():
-    """The Pallas kernel (interpret mode on CPU) matches decoder.apply within
-    bf16-weight tolerance (VERDICT r1 weak #2: the kernel had zero tests)."""
-    from surfd_tpu.models.decoder import CbnDecoder, CoordsEncoder, udf_from_logits
-    from surfd_tpu.ops.decoder_kernel import fold_decoder, pallas_folded_udf
-
-    dec = CbnDecoder(latent_dim=8, hidden_dim=64, num_hidden_layers=2)
-    rng = np.random.default_rng(0)
-    lat = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
-    dv = dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 63)), jnp.zeros((1, 8)))
-    dv = jax.tree.map(
-        lambda a: jnp.asarray(rng.normal(size=a.shape, scale=0.05), a.dtype) + a, dv
-    )
-    folded = fold_decoder(dv, lat, 0.1)
-    pts = jnp.asarray(rng.uniform(-1, 1, (2048, 3)), jnp.float32)
-    out = pallas_folded_udf(folded, pts, tile=1024, interpret=True)
-    enc = CoordsEncoder()
-    ref = udf_from_logits(dec.apply(dv, enc.encode(pts[None]), lat[None])[0], 0.1)
-    assert float(jnp.abs(out - ref).max()) < 1e-3
 
 
 def test_folded_udf_mixed_accuracy():
