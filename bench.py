@@ -286,6 +286,75 @@ def main():
                 r = np.linalg.norm(mesh.vertices, axis=1)
                 log(f"sphere check: median r {np.median(r):.3f} (target 0.6)")
 
+    # --- open-surface fixture (VERDICT r3 next #4): the TRAINED synthetic-AE
+    # decoder on a held-out open sheet — the garment-like workload class the
+    # reference exists for — at the same resolution. Shipped self-contained in
+    # the wheel (scripts/export_bench_fixture.py), so this runs in any fresh
+    # checkout. Secondary metric: does not touch value/vs_baseline.
+    fx_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "surfd_tpu", "assets", "bench_sheet_decoder.npz",
+    )
+    if os.path.exists(fx_path) and time.perf_counter() + 2 * max(runs) < DEADLINE:
+        def load_fixture():
+            z = np.load(fx_path)
+            hid, lay = int(z["hidden_dim"]), int(z["num_hidden_layers"])
+            dec = CbnDecoder(latent_dim=len(z["latent"]), hidden_dim=hid,
+                             num_hidden_layers=lay)
+            tmpl = dec.init(
+                jax.random.PRNGKey(0), ce.encode(jnp.zeros((1, 8, 3))),
+                jnp.zeros((1, len(z["latent"]))),
+            )
+            import jax.tree_util as jtu
+
+            flat, treedef = jtu.tree_flatten_with_path(tmpl)
+            leaves = []
+            for kp, leaf in flat:
+                key = "dec/" + "/".join(
+                    str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
+                )
+                leaves.append(jnp.asarray(z[key].astype(np.asarray(leaf).dtype)))
+            dv = jtu.tree_unflatten(treedef, leaves)
+            return (dec, dv, jnp.asarray(z["latent"]), float(z["max_dist"]),
+                    z["surface_samples"].astype(np.float32), str(z["item"]))
+
+        dec_s, dv_s, lat_s, md_s, gt_s, item_s = run_phase("load_sheet_fixture", load_fixture)
+        log(f"sheet fixture: trained decoder on {item_s} (max_dist {md_s})")
+        udf_s = make_udf_fn(dec_s, dv_s, lat_s, max_dist=md_s)
+        sheet_runs = []
+        for i in range(3):
+            if sheet_runs and time.perf_counter() + sheet_runs[0] * 1.3 > DEADLINE:
+                break
+            def one_sheet():
+                t1 = time.perf_counter()
+                m, st = get_mesh_from_udf(udf_s, cfg=cfg, return_stats=True)
+                return time.perf_counter() - t1, m, st
+
+            dt, mesh_s, stats_s = run_phase(f"sheet_extraction_{i}", one_sheet)
+            sheet_runs.append(dt)
+            log(f"sheet run {i}{' (warm-up)' if i == 0 else ''}: {dt:.2f}s  "
+                f"{stats_s['times']}")
+            timed = sheet_runs[1:] if len(sheet_runs) > 1 else sheet_runs
+            _RESULT.update(
+                sheet_512_s=round(t_sample + min(timed), 3),
+                sheet_runs=[round(r, 2) for r in sheet_runs],
+            )
+            if i == 0:
+                from surfd_tpu.geometry.metrics import chamfer_distance
+
+                if len(mesh_s.faces) > 500:
+                    sub = mesh_s.vertices[
+                        np.random.default_rng(0).choice(
+                            len(mesh_s.vertices), min(20000, len(mesh_s.vertices)),
+                            replace=False)
+                    ]
+                    cd = chamfer_distance(sub, gt_s)
+                    _RESULT.update(sheet_chamfer=round(float(cd), 6))
+                    log(f"sheet mesh: {len(mesh_s.vertices)} verts "
+                        f"{len(mesh_s.faces)} faces, Chamfer vs GT {cd:.3g}")
+                else:
+                    log(f"sheet mesh DEGENERATE: {len(mesh_s.faces)} faces")
+
     emit_and_exit(0)
 
 

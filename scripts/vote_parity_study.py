@@ -9,10 +9,19 @@ relative (decoder UDFs carry ~voxel-scale error).
 
 Usage:
   python scripts/vote_parity_study.py [--res 96] [--decoder PATH.npz]
+  python scripts/vote_parity_study.py --ae_dir RUN --data_root CORPUS \
+      [--ae_res 64,128] [--ae_items sphere_120,torus_121,sheet_122]
 
 --decoder: bench.py's sphere-fitted CBN decoder cache; when given, the study
 also compares both schemes on that REAL decoder field + autodiff gradients
 (the bench's production path) vs the analytic sphere.
+
+--ae_dir (VERDICT r3 next #5): a trained cli/train_ae run dir. For each test
+item, the point cloud is encoded by the TRAINED DGCNN, the TRAINED CBN
+decoder's UDF + autodiff-gradient grids are evaluated at each --ae_res, and
+both sign schemes run on those real fields — ground truth is the item's own
+stored surface samples (pcd). This replaces the analytic+synthetic-noise
+extrapolation with measured trained-field divergence.
 """
 
 import argparse
@@ -55,6 +64,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=96)
     ap.add_argument("--decoder", default="")
+    ap.add_argument("--ae_dir", default="")
+    ap.add_argument("--data_root", default="")
+    ap.add_argument("--ae_res", default="64,128")
+    ap.add_argument("--ae_items", default="sphere_120,torus_121,sheet_122")
+    ap.add_argument("--analytic", action="store_true",
+                    help="run the analytic+noise sweep even with --ae_dir")
     ap.add_argument("--udf-noise", type=float, default=0.25,
                     help="relative UDF noise level for the value-noise rows")
     args = ap.parse_args()
@@ -62,8 +77,9 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
 
-    for name, make in [("sphere", sphere_fields), ("torus", torus_fields),
-                       ("open_sheet", sheet_fields)]:
+    for name, make in ([] if (args.ae_dir and not args.analytic) else
+                       [("sphere", sphere_fields), ("torus", torus_fields),
+                        ("open_sheet", sheet_fields)]):
         _, udf, grad, sample = make(R)
         for sigma in (0.0, 0.1, 0.25, 0.5):
             g = grad if sigma == 0 else noisy_unit(grad, sigma, rng)
@@ -115,6 +131,71 @@ def main():
         grad_d = grad_d.astype(np.float32)
         _, _, _, sample = sphere_fields(R)
         compare("bench_decoder_sphere", udf_d, grad_d, sample, R, rows)
+
+    if args.ae_dir:
+        import json
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from surfd_tpu.models import CbnDecoder, CoordsEncoder, Dgcnn
+        from surfd_tpu.utils.checkpoint import load_params_npz
+
+        with open(os.path.join(args.ae_dir, "args.json")) as fh:
+            targs = json.load(fh)
+        L = targs["latent_size"]
+        n_pcd = targs.get("num_points_pcd", 10_000)
+        max_dist = targs.get("max_dist", 0.1)
+
+        encoder = Dgcnn(size_latent=L)
+        enc_vars = encoder.init(jax.random.PRNGKey(0), jnp.zeros((1, n_pcd, 3)))
+        enc_vars = load_params_npz(os.path.join(args.ae_dir, "ae_encoder.npz"), enc_vars)
+        decoder = CbnDecoder(
+            latent_dim=L,
+            hidden_dim=targs.get("hidden_dim", 512),
+            num_hidden_layers=targs.get("num_hidden_layers", 5),
+        )
+        ce = CoordsEncoder()
+        dec_vars = decoder.init(
+            jax.random.PRNGKey(1), ce.encode(jnp.zeros((1, 8, 3))), jnp.zeros((1, L))
+        )
+        dec_vars = load_params_npz(os.path.join(args.ae_dir, "ae_decoder.npz"), dec_vars)
+        encode = jax.jit(lambda pcd: encoder.apply(enc_vars, pcd, train=False))
+
+        @jax.jit
+        def udf_and_grad(latent, q):
+            # production field: f32 decoder.apply + autodiff gradient — the
+            # same UDF/∂UDF the extraction pipeline's mt_grads pass consumes
+            def f(p):
+                lg = decoder.apply(dec_vars, ce.encode(p[None, None]), latent)
+                return (1.0 - jax.nn.sigmoid(lg[0, 0])) * max_dist
+
+            return jax.vmap(jax.value_and_grad(f))(q)
+
+        for item in args.ae_items.split(","):
+            path = os.path.join(args.data_root, "test", item + ".npz")
+            d = np.load(path)
+            pcd = d["pcd"]
+            sub = pcd[np.random.default_rng(0).choice(len(pcd), n_pcd, replace=False)]
+            latent = encode(jnp.asarray(sub[None]))
+            sample = lambda n, rng, _p=pcd: _p[rng.choice(len(_p), n, replace=False)]
+            for R in [int(r) for r in args.ae_res.split(",")]:
+                xs = np.linspace(-1, 1, R, dtype=np.float32)
+                pts = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
+                udf_l, grad_l = [], []
+                for i in range(0, len(pts), 65536):
+                    q = np.zeros((65536, 3), np.float32)
+                    chunk = pts[i:i + 65536]
+                    q[: len(chunk)] = chunk
+                    u, g = udf_and_grad(latent, jnp.asarray(q))
+                    udf_l.append(np.asarray(u)[: len(chunk)])
+                    grad_l.append(np.asarray(g)[: len(chunk)])
+                udf_d = np.concatenate(udf_l).reshape(R, R, R).astype(np.float32)
+                grad_d = np.concatenate(grad_l).reshape(R, R, R, 3)
+                grad_d /= np.maximum(np.linalg.norm(grad_d, axis=-1, keepdims=True), 1e-9)
+                compare(f"trained_{item}", udf_d, grad_d.astype(np.float32),
+                        sample, R, rows)
 
     print("\n| field | R | parity RMS (vox) | vote RMS (vox) | parity↔vote (vox) | faces p/v |")
     print("|---|---|---|---|---|---|")
