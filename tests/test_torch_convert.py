@@ -230,6 +230,94 @@ def test_mdm_unet_conversion_structure():
     assert out.shape == (1, 32, 1)
 
 
+@pytest.mark.parametrize("pool", ["adaptive", "attention", "spatial", "spatial_v2"])
+def test_encoder_unet_conversion_structure(pool):
+    """convert_encoder_unet per pool head (ADVICE r3: only 'attention' was
+    covered). Same layout-inversion recipe as the full-UNet test: init our
+    EncoderUNet1D, synthesize the reference's sequentially-numbered
+    state_dict from the wanted shapes, convert, and require an exact
+    shape-tree match plus a working apply."""
+    from surfd_tpu.models import EncoderUNet1D
+    from surfd_tpu.utils.torch_convert import convert_encoder_unet
+
+    model = EncoderUNet1D(
+        model_channels=32, out_channels=5, num_res_blocks=1,
+        attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=4,
+        num_head_channels=8, seq_len=16, pool=pool,
+    )
+    x = jnp.zeros((2, 16, 1))
+    t = jnp.zeros((2,), jnp.int32)
+    init = model.init(jax.random.PRNGKey(0), x, t)
+    want = _tree_shapes(jax.tree.map(np.asarray, init["params"]))
+
+    sd = {}
+    def put_dense(prefix, path):
+        sd[f"{prefix}.weight"] = torch.randn(*reversed(want[f"{path}/kernel"]))
+        if f"{path}/bias" in want:
+            sd[f"{prefix}.bias"] = torch.randn(*want[f"{path}/bias"])
+    def put_convk(prefix, path):
+        k = want[f"{path}/kernel"]  # (K, in, out)
+        sd[f"{prefix}.weight"] = torch.randn(k[2], k[1], k[0])
+        if f"{path}/bias" in want:
+            sd[f"{prefix}.bias"] = torch.randn(*want[f"{path}/bias"])
+    def put_gn(prefix, path):
+        sd[f"{prefix}.weight"] = torch.randn(*want[f"{path}/GroupNorm_0/scale"])
+        sd[f"{prefix}.bias"] = torch.randn(*want[f"{path}/GroupNorm_0/bias"])
+    def put_res(prefix, path):
+        put_gn(f"{prefix}.in_layers.0", f"{path}/GroupNorm32_0")
+        put_convk(f"{prefix}.in_layers.2", f"{path}/in_conv")
+        put_dense(f"{prefix}.emb_layers.1", f"{path}/emb_proj")
+        put_gn(f"{prefix}.out_layers.0", f"{path}/GroupNorm32_1")
+        put_convk(f"{prefix}.out_layers.3", f"{path}/out_conv")
+        if f"{path}/skip/kernel" in want:
+            put_convk(f"{prefix}.skip_connection", f"{path}/skip")
+    def put_attn(prefix, path):
+        put_gn(f"{prefix}.norm", f"{path}/GroupNorm32_0")
+        put_convk(f"{prefix}.qkv", f"{path}/qkv")
+        put_convk(f"{prefix}.proj_out", f"{path}/proj_out")
+
+    put_dense("time_embed.0", "time_embed_0")
+    put_dense("time_embed.2", "time_embed_2")
+    put_convk("input_blocks.0.0", "in_conv")
+    put_res("input_blocks.1.0", "down_0_0")
+    put_attn("input_blocks.1.1", "down_attn_0_0")
+    put_convk("input_blocks.2.0.op", "downsample_0/op")
+    put_res("input_blocks.3.0", "down_1_0")
+    put_attn("input_blocks.3.1", "down_attn_1_0")
+    put_res("middle_block.0", "mid_res_0")
+    put_attn("middle_block.1", "mid_attn")
+    put_res("middle_block.2", "mid_res_1")
+
+    if pool == "adaptive":
+        put_gn("out.0", "GroupNorm32_0")
+        put_convk("out.3", "out_conv")
+    elif pool == "attention":
+        put_gn("out.0", "GroupNorm32_0")
+        # torch stores (C, S+1); ours is (S+1, C)
+        pe = want["attn_pool/positional_embedding"]
+        sd["out.2.positional_embedding"] = torch.randn(pe[1], pe[0])
+        put_convk("out.2.qkv_proj", "attn_pool/qkv_proj")
+        put_convk("out.2.c_proj", "attn_pool/c_proj")
+    elif pool == "spatial":
+        put_dense("out.0", "out_0")
+        put_dense("out.2", "out_3")
+    else:  # spatial_v2
+        put_dense("out.0", "out_0")
+        put_gn("out.1", "GroupNorm32_0")
+        put_dense("out.3", "out_3")
+
+    converted = convert_encoder_unet(
+        sd, channel_mult=(1, 2), num_res_blocks=1, attn_res=(1, 2), pool=pool
+    )
+    got = _tree_shapes(converted["params"])
+    assert got == want
+    logits = model.apply(
+        {"params": jax.tree.map(jnp.asarray, converted["params"])}, x, t
+    )
+    assert logits.shape == (2, 5)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
 # --- export direction: ours → reference .pt layout, bitwise round-trip ---
 
 
