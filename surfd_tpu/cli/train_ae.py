@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--val_every", type=int, default=64)
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--log_interval", type=int, default=10)
+    ap.add_argument("--save_every_epochs", type=int, default=50,
+                    help="checkpoint cadence; lower it on flaky device links "
+                         "to bound the progress lost per stall restart")
     ap.add_argument("--stall_exit_s", type=float, default=480.0,
                     help="exit 42 when no step completes for this long "
                          "(wedged device link); 0 disables — run under "
@@ -186,7 +189,7 @@ def main():
                 break
             if args.curriculum and (epoch + 1) % args.val_every == 0:
                 run_val_and_grow()
-            if (epoch + 1) % 50 == 0 or epoch == args.num_epochs - 1:
+            if (epoch + 1) % args.save_every_epochs == 0 or epoch == args.num_epochs - 1:
                 save_all()
     ck.wait()
     print(f"done at step {global_step}", file=sys.stderr)
