@@ -393,10 +393,13 @@ void surfd_mt_corner_ranks(
 
 // Scatter B³ uint16-quantized value blocks into the dense f32 grid, fusing
 // the u16→f32 dequantization (numpy: .astype + fancy index ≈ 0.5 s at 3.5M
-// points on this host; here one streaming pass).
+// points on this host; here one streaming pass). `bias` is subtracted during
+// the dequantize (surface-bias calibration: a BCE-trained UDF decoder cannot
+// output exactly 0 at the surface, so its zero level set sits `bias` outside
+// the true surface — subtracting here costs nothing extra).
 void surfd_scatter_u16_blocks(
     float* grid, int32_t R, const int32_t* ab, int64_t M, int32_t B,
-    const uint16_t* vals, float scale) {
+    const uint16_t* vals, float scale, float bias) {
   const int64_t RR = (int64_t)R * R;
   const int64_t BB = (int64_t)B * B;
   for (int64_t m = 0; m < M; ++m) {
@@ -406,7 +409,7 @@ void surfd_scatter_u16_blocks(
       for (int j = 0; j < B; ++j) {
         float* dst = grid + (int64_t)(x0 + i) * RR + (int64_t)(y0 + j) * R + z0;
         const uint16_t* src = v + i * BB + (int64_t)j * B;
-        for (int k2 = 0; k2 < B; ++k2) dst[k2] = src[k2] * scale;
+        for (int k2 = 0; k2 < B; ++k2) dst[k2] = src[k2] * scale - bias;
       }
   }
 }

@@ -62,6 +62,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--smooth_iters", type=int, default=3)
     ap.add_argument("--max_batch", type=int, default=2**17)
     ap.add_argument(
+        "--surface_bias", default="auto",
+        help="decoder surface-bias calibration: auto (estimate the UDF floor "
+        "from the fill's block minima and subtract it), none, or a float",
+    )
+    ap.add_argument(
         "--data_parallel", action="store_true",
         help="shard the UDF grid-query stream over all devices ('data' mesh axis)",
     )
@@ -90,6 +95,18 @@ _AE_MERGE_KEYS = {
     "hidden_dim": "decoder_hidden",
     "num_hidden_layers": "decoder_layers",
 }
+
+
+def parse_surface_bias(s) -> float | str:
+    """--surface_bias value: "auto" | "none"/"off" | a float in UDF units."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    s = str(s).strip().lower()
+    if s == "auto":
+        return "auto"
+    if s in ("none", "off", ""):
+        return 0.0
+    return float(s)
 
 
 def _explicit_cli_keys(argv) -> set:
@@ -266,6 +283,7 @@ def run_generation(args, cond_mode: str, context=None, action=None, tag: str = "
         min_component_faces=args.min_component_faces,
         final_laplacian_iters=args.smooth_iters,
         mesh=mesh_axes,
+        surface_bias=parse_surface_bias(getattr(args, "surface_bias", "auto")),
     )
     # Extractions run through the batch generator; --pipeline_depth 2
     # overlaps sample k's host passes (marching emit, cleanup) with sample

@@ -39,6 +39,9 @@ def main():
     # threshold multiplier for the face filter (th_dist = mult/N,
     # meshudf.py:371) — raise for decoders whose UDF floor sits above a voxel
     ap.add_argument("--face_filter_mult", type=float, default=1.0)
+    # surface-bias calibration: "auto" (estimate the decoder's UDF floor from
+    # the fill's block minima and subtract it), "none", or a forced float
+    ap.add_argument("--surface_bias", default="auto")
     from ..utils.config import apply_preset_defaults
 
     apply_preset_defaults(ap)
@@ -76,10 +79,13 @@ def main():
     from ..geometry.metrics import f_score, hausdorff_distance, mesh_surface_metrics
 
     os.makedirs(args.output_dir, exist_ok=True)
+    from ._common import parse_surface_bias
+
     cfg = MeshExtractionConfig(
         resolution=args.resolution,
         min_component_faces=args.min_component_faces,
         face_filter_mult=args.face_filter_mult,
+        surface_bias=parse_surface_bias(args.surface_bias),
     )
     rows = []
     items = range(len(dataset)) if not args.limit else range(min(args.limit, len(dataset)))

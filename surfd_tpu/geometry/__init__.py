@@ -1,5 +1,12 @@
 from .marching import Mesh, marching_tetrahedra, marching_tetrahedra_udf
-from .grid import GridFiller, eval_in_chunks, eval_in_chunks_async, fill_grid_dense, make_grad_fn
+from .grid import (
+    GridFiller,
+    estimate_surface_bias,
+    eval_in_chunks,
+    eval_in_chunks_async,
+    fill_grid_dense,
+    make_grad_fn,
+)
 from .mesh_io import read_obj, write_obj, write_ply
 from .mesh_ops import (
     boundary_vertices,

@@ -352,6 +352,32 @@ def auto_block_size(
     return block
 
 
+def estimate_surface_bias(block_min: np.ndarray, spacing: float) -> float:
+    """Estimate the decoder's surface-bias floor from fine-pass block minima.
+
+    A BCE-trained UDF decoder saturates its sigmoid near the surface, so the
+    predicted field bottoms out at a floor b > 0 instead of 0 (measured on the
+    r4 synthetic-corpus AE: ~0.005 for open sheets, ~0.002 for spheres, vs a
+    1/512 face-filter threshold of ~0.002). Blocks straddling the predicted
+    surface contain nodes arbitrarily close to the minimum ridge, so over
+    thousands of active blocks the LOW tail of per-block minima converges on
+    b; higher percentiles mix in shell blocks offset from the surface
+    (min ≈ b + up to ~block·spacing). p5 therefore reads b off the straddling
+    blocks' luckiest nodes. For a well-fitted decoder (b ≈ 0) p5 is ≈ 0 — the
+    estimator self-regulates and the correction vanishes.
+
+    Deadzone: < 0.1 voxel is node-offset noise, not bias. Clamp at 3 voxels:
+    a floor beyond that cannot be meshed at this resolution anyway, and
+    runaway subtraction would dig a negative shell (double surfaces).
+    """
+    if block_min is None or len(block_min) < 16:
+        return 0.0
+    b = float(np.percentile(block_min, 5.0))
+    if b < 0.1 * spacing:
+        return 0.0
+    return min(b, 3.0 * spacing)
+
+
 # Reusable dense-grid buffers keyed by (N, max_dist): first-touch page
 # allocation of a fresh 512³ f32 grid is pathologically slow on this VM
 # (~10 MB/s kernel zeroing under memory pressure), so repeated fills reuse
@@ -380,7 +406,20 @@ class GridFiller:
         band_mult: float = 2.5,
         mesh=None,
         reuse_buffer: bool = False,
+        surface_bias: float | str = 0.0,
     ):
+        # Surface-bias calibration: a BCE-trained UDF decoder saturates its
+        # sigmoid and cannot emit exactly 0 at the surface — the predicted
+        # field's minimum ridge sits at a per-shape floor b > 0 (measured
+        # ~0.005 on trained open sheets vs ~0.002 on spheres). At 512³ that
+        # floor exceeds the marching cell gate and the 1/N face-filter
+        # threshold, so sheets extract empty. "auto" estimates b from the
+        # fine-pass per-block minima (estimate_surface_bias) and subtracts it
+        # during the dequantize-scatter — zero extra passes; a float forces
+        # a known bias; 0.0 disables (raw reference semantics,
+        # /root/reference/meshudf/meshudf.py has no such mechanism because
+        # its published decoders were trained ~10× longer).
+        self.surface_bias = surface_bias
         self.reuse_buffer = reuse_buffer
         self._held_buffer = None
         self.N = resolution
@@ -415,12 +454,18 @@ class GridFiller:
             # max_dist too tight for sparsification at this resolution:
             # the "coarse" pass is already the dense grid.
             grid = fill_grid_dense(udf_fn, N, (self.lo, self.hi), self.max_batch)
+            # dense path: no per-block minima to estimate from — apply only an
+            # explicitly forced bias ("auto" resolves to 0 here)
+            bias = 0.0 if self.surface_bias == "auto" else float(self.surface_bias or 0.0)
+            if bias:
+                grid = grid - np.float32(bias)
             if return_stats:
                 return grid, {
                     "active_blocks": N**3,
                     "total_blocks": N**3,
                     "fine_points": N**3,
                     "dense_points": N**3,
+                    "surface_bias": bias,
                 }
             return grid
 
@@ -451,6 +496,8 @@ class GridFiller:
 
         grid = self._dense_buffer(N)
         ab32 = np.ascontiguousarray(ab, np.int32)
+        bias = 0.0
+        block_min = np.empty((0,), np.float32)
 
         if len(ab) > 0:
             from .. import native
@@ -466,14 +513,25 @@ class GridFiller:
             M = len(ab)
             vals = eval_in_chunks(block_udf, ab32, blocks_per_chunk, mesh=self.mesh)
             vals = vals.reshape(M, B, B, B)
+            qstep = np.float32(self.max_dist / 65535.0)
+            # per-block minima (cheap on the quantized ints) feed the
+            # surface-bias estimate, and the subtraction fuses into the
+            # dequantize-scatter — the calibration costs no extra pass
+            block_min = vals.reshape(M, -1).min(axis=1).astype(np.float32)
+            if u16_fn is not None:
+                block_min *= qstep
+            if self.surface_bias == "auto":
+                bias = estimate_surface_bias(block_min, self.spacing)
+            else:
+                bias = float(self.surface_bias or 0.0)
             if u16_fn is not None and native.available():
-                # fused u16→f32 dequantize + scatter in one C++ pass
-                native.scatter_u16_blocks(
-                    grid, ab32, vals, B, self.max_dist / 65535.0
-                )
+                # fused u16→f32 dequantize (−bias) + scatter in one C++ pass
+                native.scatter_u16_blocks(grid, ab32, vals, B, qstep, bias)
             else:
                 if u16_fn is not None:
-                    vals = vals.astype(np.float32) * np.float32(self.max_dist / 65535.0)
+                    vals = vals.astype(np.float32) * qstep
+                if bias:
+                    vals = vals - np.float32(bias)
                 ax, ay, az = (ab * B).T
                 r = np.arange(B)
                 grid[
@@ -496,6 +554,11 @@ class GridFiller:
                 # marching uses it to gate pass 1 to ~the near-band volume
                 "ab": ab32,
                 "block": B,
+                # surface-bias calibration: grid values already have `bias`
+                # subtracted; consumers re-querying the DECODER (face filter)
+                # must widen their thresholds by it
+                "surface_bias": bias,
+                "block_min": block_min,
             }
             return grid, stats
         return grid

@@ -108,7 +108,7 @@ def _load() -> ctypes.CDLL:
     lib.surfd_scatter_u16_blocks.restype = None
     lib.surfd_scatter_u16_blocks.argtypes = [
         fp, ctypes.c_int32, ip, ctypes.c_int64, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_uint16), ctypes.c_float,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_float, ctypes.c_float,
     ]
     lib.surfd_reset_blocks.restype = None
     lib.surfd_reset_blocks.argtypes = [
@@ -218,10 +218,12 @@ def mt_corner_ranks(near_gids: np.ndarray, cube_ids: np.ndarray, R: int) -> np.n
 
 
 def scatter_u16_blocks(
-    grid: np.ndarray, ab: np.ndarray, vals: np.ndarray, block: int, scale: float
+    grid: np.ndarray, ab: np.ndarray, vals: np.ndarray, block: int, scale: float,
+    bias: float = 0.0,
 ) -> None:
     """Write (M, B³) u16 blocks into the (R,R,R) f32 grid, dequantizing by
-    `scale` in the same pass. grid is modified in place."""
+    `scale` (and subtracting `bias` — surface-bias calibration) in the same
+    pass. grid is modified in place."""
     lib = _load()
     assert grid.dtype == np.float32 and grid.flags.c_contiguous
     a = np.ascontiguousarray(ab, dtype=np.int32)
@@ -230,6 +232,7 @@ def scatter_u16_blocks(
         grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), grid.shape[0],
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a), block,
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), ctypes.c_float(scale),
+        ctypes.c_float(bias),
     )
 
 

@@ -324,6 +324,13 @@ class MeshExtractionConfig:
     # meshudf.py:371; raise the mult for weakly-fitted decoders whose UDF
     # floor sits above a voxel)
     face_filter_mult: float = 1.0
+    # surface-bias calibration (geometry.estimate_surface_bias): a BCE-trained
+    # decoder's UDF bottoms out at a floor b > 0 at the true surface; "auto"
+    # estimates b from the fill's per-block minima, subtracts it from the grid
+    # during the dequantize-scatter, and widens the face-filter threshold by
+    # the same amount. 0.0 disables (raw reference semantics); a float forces
+    # a known bias.
+    surface_bias: float | str = "auto"
     do_stabilize: bool = True
     do_smooth_borders: bool = True
     # filter-point uploads quantized to the 2^16 coords grid (half-step
@@ -366,9 +373,13 @@ def get_mesh_from_udf(
         max_dist=cfg.max_dist,
         mesh=cfg.mesh,
         reuse_buffer=True,  # the grid never escapes this function
+        surface_bias=cfg.surface_bias,
     )
     grid, stats = gf.fill(udf_fn, return_stats=True)
     times["grid_fill"] = time.perf_counter() - t0
+    # grid values already have the calibrated bias subtracted; every
+    # downstream re-query of the DECODER compares against threshold + bias
+    surf_bias = float(stats.get("surface_bias", 0.0) or 0.0)
     # the filler's activity test guarantees every near-band node is inside a
     # listed block — marching pass 1 scans only those (dilated), not R³
     active_blocks = (
@@ -434,7 +445,7 @@ def get_mesh_from_udf(
         # C++ pass applies the keep filter and the whole cleanup chain (hole
         # fill, border smoothing, vertex merge).
         t0 = time.perf_counter()
-        threshold = cfg.face_filter_mult / cfg.resolution
+        threshold = cfg.face_filter_mult / cfg.resolution + surf_bias
         packed_bound = getattr(udf_fn, "below_packed_bound", None)
         below_bound = getattr(udf_fn, "below_bound", None)
         pre = q16_bound is not None and cfg.quantized_filter_points
@@ -559,7 +570,8 @@ def get_mesh_from_udf(
         t0 = time.perf_counter()
         if cfg.filter_faces and len(mesh.faces):
             mesh = filter_faces_by_udf(
-                mesh, udf_fn, cfg.face_filter_mult / cfg.resolution, chunk=cfg.max_batch
+                mesh, udf_fn, cfg.face_filter_mult / cfg.resolution + surf_bias,
+                chunk=cfg.max_batch,
             )
             mesh = remove_unreferenced_vertices(mesh)
         times["face_filter"] = time.perf_counter() - t0
@@ -597,6 +609,7 @@ def get_watertight_mesh_from_udf(
     gf = GridFiller(
         cfg.resolution, cfg.coords_range, max_batch=cfg.max_batch,
         max_dist=cfg.max_dist, mesh=cfg.mesh, reuse_buffer=True,
+        surface_bias=cfg.surface_bias,  # iso then applies to the TRUE field
     )
     grid = gf.fill(udf_fn)
     try:

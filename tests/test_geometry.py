@@ -575,3 +575,51 @@ def test_one_nn_accuracy_separable_and_identical():
 
     with pytest.raises(ValueError):
         one_nn_accuracy([], [])
+
+
+def test_surface_bias_calibration_recovers_biased_field():
+    """A BCE-trained decoder's UDF bottoms out at a floor b > 0 at the true
+    surface (sigmoid saturation). surface_bias="auto" must estimate b from
+    the fill's per-block minima, subtract it from the grid, and widen the
+    face-filter threshold — recovering geometry a raw extraction filters
+    away or displaces. Reference has no such mechanism (its published
+    decoders trained long enough to push b below 1/N)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from surfd_tpu.pipelines.generate import MeshExtractionConfig, get_mesh_from_udf
+
+    BIAS = 0.012  # above the 1/96 face threshold: raw extraction must filter
+
+    def biased(p):
+        return jnp.abs(jnp.linalg.norm(p, axis=-1) - 0.6) + BIAS
+
+    f = jax.jit(biased)
+    cfg_auto = MeshExtractionConfig(resolution=96, max_batch=2**14, surface_bias="auto")
+    mesh_a, stats_a = get_mesh_from_udf(f, cfg=cfg_auto, return_stats=True)
+    assert abs(stats_a["surface_bias"] - BIAS) < 2.5e-3
+    r_a = np.abs(np.linalg.norm(mesh_a.vertices, axis=1) - 0.6)
+
+    cfg_raw = MeshExtractionConfig(resolution=96, max_batch=2**14, surface_bias=0.0)
+    mesh_r, stats_r = get_mesh_from_udf(f, cfg=cfg_raw, return_stats=True)
+    assert stats_r["surface_bias"] == 0.0
+    r_r = np.abs(np.linalg.norm(mesh_r.vertices, axis=1) - 0.6)
+
+    # calibration recovers faces the raw threshold filters away (raw loses
+    # most or all of the surface), and places vertices on the true surface
+    assert len(mesh_a.faces) > 1.5 * len(mesh_r.faces)
+    assert r_a.mean() < 3e-4
+    if len(mesh_r.faces):
+        assert r_a.mean() < 0.5 * r_r.mean()
+
+    # a clean field must be left untouched (estimator self-regulates)
+    def clean(p):
+        return jnp.abs(jnp.linalg.norm(p, axis=-1) - 0.6)
+
+    _, stats_c = get_mesh_from_udf(
+        jax.jit(clean),
+        cfg=MeshExtractionConfig(resolution=96, max_batch=2**14, surface_bias="auto"),
+        return_stats=True,
+    )
+    assert stats_c["surface_bias"] == 0.0
