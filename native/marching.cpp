@@ -391,25 +391,38 @@ void surfd_mt_corner_ranks(
   }
 }
 
+// ABI version of this library. surfd_tpu/native.py asserts it at load so a
+// stale prebuilt .so (older signatures) can never be called through newer
+// ctypes prototypes — silently-wrong arguments instead become a hard error.
+// Bump on ANY extern "C" signature change.
+int64_t surfd_abi_version() { return 5; }
+
 // Scatter B³ uint16-quantized value blocks into the dense f32 grid, fusing
 // the u16→f32 dequantization (numpy: .astype + fancy index ≈ 0.5 s at 3.5M
-// points on this host; here one streaming pass). `bias` is subtracted during
-// the dequantize (surface-bias calibration: a BCE-trained UDF decoder cannot
-// output exactly 0 at the surface, so its zero level set sits `bias` outside
-// the true surface — subtracting here costs nothing extra).
+// points on this host; here one streaming pass). `bias` (per active block —
+// the surface-bias calibration field, or nullptr for none) is subtracted
+// during the dequantize, and the result is clamped at `clamp_min` ≥ 0:
+// a BCE-trained UDF decoder cannot output exactly 0 at the surface, so its
+// zero level set sits `bias` outside the true surface; the clamp keeps the
+// corrected field inside marching's `udf ≥ 0` contract (a negative value
+// with a near-zero edge sum extrapolates spike vertices).
 void surfd_scatter_u16_blocks(
     float* grid, int32_t R, const int32_t* ab, int64_t M, int32_t B,
-    const uint16_t* vals, float scale, float bias) {
+    const uint16_t* vals, float scale, const float* bias, float clamp_min) {
   const int64_t RR = (int64_t)R * R;
   const int64_t BB = (int64_t)B * B;
   for (int64_t m = 0; m < M; ++m) {
     const int x0 = ab[m * 3] * B, y0 = ab[m * 3 + 1] * B, z0 = ab[m * 3 + 2] * B;
     const uint16_t* v = vals + m * BB * B;
+    const float bm = bias ? bias[m] : 0.f;
     for (int i = 0; i < B; ++i)
       for (int j = 0; j < B; ++j) {
         float* dst = grid + (int64_t)(x0 + i) * RR + (int64_t)(y0 + j) * R + z0;
         const uint16_t* src = v + i * BB + (int64_t)j * B;
-        for (int k2 = 0; k2 < B; ++k2) dst[k2] = src[k2] * scale - bias;
+        for (int k2 = 0; k2 < B; ++k2) {
+          float val = src[k2] * scale - bm;
+          dst[k2] = val < clamp_min ? clamp_min : val;
+        }
       }
   }
 }
@@ -526,7 +539,11 @@ int64_t surfd_mt_emit(
             // is symmetric in the endpoints, so no swap bookkeeping.
             float ua = uraw[la], ub = uraw[lb];
             float su = ua + ub;
+            // clamp: a bias-calibrated grid can dip slightly below 0 near
+            // the surface; an unclamped t would extrapolate the vertex far
+            // off its edge (spike vertices — r4 sheet_122 blowup)
             float t = su > 1e-12f ? ua / su : 0.5f;
+            t = t < 0.f ? 0.f : (t > 1.f ? 1.f : t);
             px[k] = (float)(x + CORNER_OFF[la][0]) +
                     t * (float)(CORNER_OFF[lb][0] - CORNER_OFF[la][0]);
             py[k] = (float)(y + CORNER_OFF[la][1]) +
@@ -619,7 +636,11 @@ int64_t surfd_mt_emit(
     int64_t a = uniq_a[i], b = uniq_b[i];
     float ua = udf[a], ub = udf[b];
     float su = ua + ub;
+    // clamped: a true crossing has t in [0,1]; anything outside comes from a
+    // (slightly) negative endpoint after surface-bias subtraction and would
+    // extrapolate a spike vertex outside the edge
     float t = su > 1e-12f ? ua / su : 0.5f;
+    t = t < 0.f ? 0.f : (t > 1.f ? 1.f : t);
     int ax, ay, az, bx, by, bz;
     GD.xyz(a, ax, ay, az);
     GD.xyz(b, bx, by, bz);

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--num_points_pcd", type=int, default=10_000)
     ap.add_argument("--num_points_forward", type=int, default=20_000)
     ap.add_argument("--max_dist", type=float, default=0.1)
+    ap.add_argument("--latent_reg", type=float, default=0.0,
+                    help="L2 pull on latent codes (w·mean(latent²)); compacts "
+                    "the latent manifold for the downstream diffusion — the "
+                    "reference has no such term, 0 keeps its semantics")
     ap.add_argument("--augment_rotations", action="store_true",
                     help="random SO(3) rotation per item (pcd+queries+grads "
                     "jointly; UDF labels are invariant)")
@@ -104,7 +108,10 @@ def main():
     )
     tx = make_optimizer(cfg.lr)
     state = create_train_state(params, tx, batch_stats=batch_stats)
-    train_step = make_ae_train_step(encoder, decoder, tx, max_dist=cfg.max_dist)
+    train_step = make_ae_train_step(
+        encoder, decoder, tx, max_dist=cfg.max_dist,
+        latent_reg_weight=args.latent_reg,
+    )
     eval_step = make_ae_eval_step(encoder, decoder, max_dist=cfg.max_dist)
 
     ck = Checkpointer(os.path.join(args.save_dir, "ckpt"))

@@ -2,6 +2,7 @@ from .marching import Mesh, marching_tetrahedra, marching_tetrahedra_udf
 from .grid import (
     GridFiller,
     estimate_surface_bias,
+    estimate_surface_bias_field,
     eval_in_chunks,
     eval_in_chunks_async,
     fill_grid_dense,

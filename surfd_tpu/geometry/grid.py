@@ -352,6 +352,68 @@ def auto_block_size(
     return block
 
 
+def estimate_surface_bias_field(
+    ab: np.ndarray,
+    block_min: np.ndarray,
+    nb: int,
+    spacing: float,
+    radius: int = 2,
+):
+    """Per-block surface-bias floor field from the fine-pass block minima.
+
+    Local version of `estimate_surface_bias` (the r4 global-p5 scalar): the
+    decoder's floor varies spatially — measured ~2.5× across shape families
+    and along a single garment — so one global scalar both under-corrects
+    high-floor regions (surface still missing) and digs negative shells in
+    the lowest-floor ones (the r4 sheet_122/125 blowups).
+
+    Per active block, the local floor is the MIN of block minima over a
+    (2·radius+1)³ block neighborhood: blocks straddling the surface bottom
+    out at the local floor, and shell blocks (near-band but offset from the
+    surface) are pulled down to their nearest straddling neighbor by the
+    erosion. Guards:
+      * global deadzone — if the global low tail (p5) is < 0.1 voxel the
+        decoder is well-fitted and NO correction is applied anywhere;
+      * per-block cap at min(3 voxels, 3×p5) — genuine spatial variation is
+        a few × the typical floor; anything higher is a spurious decoder
+        pocket whose "floor" must not be legitimized by the calibration.
+
+    Returns (bias_per_block (M,) f32 aligned with `ab`, field (nb,nb,nb) f32
+    with 0 outside the eroded active set) or None when no correction should
+    be applied. The field feeds the face filter's per-point threshold
+    widening (pipelines.generate).
+    """
+    if block_min is None or len(block_min) < 16:
+        return None
+    p5 = float(np.percentile(block_min, 5.0))
+    if p5 < 0.1 * spacing:
+        return None
+    cap = min(3.0 * spacing, 3.0 * p5)
+
+    dense = np.full((nb, nb, nb), np.inf, dtype=np.float32)
+    dense[ab[:, 0], ab[:, 1], ab[:, 2]] = block_min
+    # separable min-filter (erosion) with +inf padding
+    r = radius
+    for axis in range(3):
+        p = np.pad(
+            dense,
+            [(r, r) if a == axis else (0, 0) for a in range(3)],
+            constant_values=np.inf,
+        )
+        sl = [slice(None)] * 3
+        acc = None
+        for off in range(2 * r + 1):
+            sl[axis] = slice(off, off + nb)
+            v = p[tuple(sl)]
+            acc = v if acc is None else np.minimum(acc, v)
+        dense = acc
+    field = np.where(np.isfinite(dense), np.clip(dense, 0.0, cap), 0.0).astype(
+        np.float32
+    )
+    bias_pb = field[ab[:, 0], ab[:, 1], ab[:, 2]]
+    return bias_pb, field
+
+
 def estimate_surface_bias(block_min: np.ndarray, spacing: float) -> float:
     """Estimate the decoder's surface-bias floor from fine-pass block minima.
 
@@ -454,11 +516,23 @@ class GridFiller:
             # max_dist too tight for sparsification at this resolution:
             # the "coarse" pass is already the dense grid.
             grid = fill_grid_dense(udf_fn, N, (self.lo, self.hi), self.max_batch)
-            # dense path: no per-block minima to estimate from — apply only an
-            # explicitly forced bias ("auto" resolves to 0 here)
-            bias = 0.0 if self.surface_bias == "auto" else float(self.surface_bias or 0.0)
+            if self.surface_bias == "auto":
+                # estimate the floor from the dense grid itself via virtual
+                # 4³-block minima (a biased decoder would otherwise extract
+                # empty exactly in the configuration where calibration is
+                # unavailable — ADVICE r4)
+                vb = 4 if N % 4 == 0 else (2 if N % 2 == 0 else 1)
+                nbv = N // vb
+                vmin = (
+                    grid.reshape(nbv, vb, nbv, vb, nbv, vb)
+                    .min(axis=(1, 3, 5))
+                    .reshape(-1)
+                )
+                bias = estimate_surface_bias(vmin, self.spacing)
+            else:
+                bias = float(self.surface_bias or 0.0)
             if bias:
-                grid = grid - np.float32(bias)
+                grid = np.maximum(grid - np.float32(bias), np.float32(0.0))
             if return_stats:
                 return grid, {
                     "active_blocks": N**3,
@@ -497,6 +571,8 @@ class GridFiller:
         grid = self._dense_buffer(N)
         ab32 = np.ascontiguousarray(ab, np.int32)
         bias = 0.0
+        bias_pb = None  # (M,) per-block calibration, aligned with ab32
+        bias_field = None  # (N/B,)³ field for per-point filter widening
         block_min = np.empty((0,), np.float32)
 
         if len(ab) > 0:
@@ -521,17 +597,30 @@ class GridFiller:
             if u16_fn is not None:
                 block_min *= qstep
             if self.surface_bias == "auto":
-                bias = estimate_surface_bias(block_min, self.spacing)
+                est = estimate_surface_bias_field(ab32, block_min, N // B, self.spacing)
+                if est is not None:
+                    bias_pb, bias_field = est
+                    bias = float(np.median(bias_pb))
             else:
                 bias = float(self.surface_bias or 0.0)
+                if bias:
+                    bias_pb = np.full(M, bias, np.float32)
+            # clamp floor: keep the corrected field inside marching's udf ≥ 0
+            # contract (a slightly-negative endpoint extrapolates spike
+            # vertices); half a quantization step preserves "near zero" info
+            clamp_min = float(0.5 * qstep) if bias_pb is not None else 0.0
             if u16_fn is not None and native.available():
-                # fused u16→f32 dequantize (−bias) + scatter in one C++ pass
-                native.scatter_u16_blocks(grid, ab32, vals, B, qstep, bias)
+                # fused u16→f32 dequantize (−bias, clamped) + scatter, one C++ pass
+                native.scatter_u16_blocks(
+                    grid, ab32, vals, B, qstep, bias_pb, clamp_min
+                )
             else:
                 if u16_fn is not None:
                     vals = vals.astype(np.float32) * qstep
-                if bias:
-                    vals = vals - np.float32(bias)
+                if bias_pb is not None:
+                    vals = np.maximum(
+                        vals - bias_pb[:, None, None, None], np.float32(clamp_min)
+                    )
                 ax, ay, az = (ab * B).T
                 r = np.arange(B)
                 grid[
@@ -554,10 +643,14 @@ class GridFiller:
                 # marching uses it to gate pass 1 to ~the near-band volume
                 "ab": ab32,
                 "block": B,
-                # surface-bias calibration: grid values already have `bias`
-                # subtracted; consumers re-querying the DECODER (face filter)
-                # must widen their thresholds by it
+                # surface-bias calibration: grid values already have the
+                # per-block bias subtracted; consumers re-querying the
+                # DECODER (face filter) must widen their thresholds by the
+                # LOCAL bias at each query point (surface_bias_field, block
+                # granularity) — the scalar is the field median, for callers
+                # without per-point machinery
                 "surface_bias": bias,
+                "surface_bias_field": bias_field,
                 "block_min": block_min,
             }
             return grid, stats

@@ -517,6 +517,10 @@ def _emit_triangles_udf(corner_vals, corner_gids, R, lo, spacing, flat_u):
 
     def t_fn(ua, ub):
         su = flat_u[ua] + flat_u[ub]
-        return (flat_u[ua] / np.where(su <= 1e-12, 1, su)).astype(np.float32)
+        t = flat_u[ua] / np.where(su <= 1e-12, 1, su)
+        # clamp: a bias-calibrated grid can dip slightly below 0; unclamped t
+        # extrapolates spike vertices far outside the edge (a true crossing
+        # always has t in [0,1])
+        return np.clip(t, 0.0, 1.0).astype(np.float32)
 
     return _emit_triangles_core(corner_vals, corner_gids, R, lo, spacing, t_fn)

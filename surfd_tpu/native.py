@@ -34,16 +34,50 @@ _PKG_DIR = Path(__file__).parent
 _LIB_PATH = _PKG_DIR / "_native" / "libsurfd_native.so"
 _BUILD_SCRIPT = _PKG_DIR.parent / "native" / "build.sh"
 
+# Must match surfd_abi_version() in native/marching.cpp. Bumped on every
+# extern "C" signature change: ctypes silently truncates/drops mismatched
+# arguments, so calling an old .so through new prototypes would corrupt
+# results instead of erroring (ADVICE r4: a stale libsurfd_native.so dropped
+# the scatter bias argument — grids were never bias-corrected, no error).
+_ABI_VERSION = 5
+
+
+def _needs_rebuild() -> bool:
+    if not _LIB_PATH.exists():
+        return True
+    src_dir = _BUILD_SCRIPT.parent
+    if not src_dir.exists():
+        return False
+    so_mtime = _LIB_PATH.stat().st_mtime
+    return any(
+        p.stat().st_mtime > so_mtime
+        for pat in ("*.cpp", "*.h")
+        for p in src_dir.glob(pat)
+    )
+
 
 def _load() -> ctypes.CDLL:
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not _LIB_PATH.exists():
+    if _needs_rebuild():
         if not _BUILD_SCRIPT.exists():
             raise RuntimeError(f"native library missing and no build script at {_BUILD_SCRIPT}")
         subprocess.run(["sh", str(_BUILD_SCRIPT)], check=True, capture_output=True)
     lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        lib.surfd_abi_version.restype = ctypes.c_int64
+        abi = int(lib.surfd_abi_version())
+    except AttributeError:
+        abi = 0  # pre-versioning build
+    if abi != _ABI_VERSION:
+        # A freshly built library always matches; a mismatch means a stale
+        # prebuilt .so with no sources to rebuild from. Refuse loudly rather
+        # than call mismatched signatures.
+        raise RuntimeError(
+            f"libsurfd_native.so ABI {abi} != expected {_ABI_VERSION}; "
+            f"rebuild with `sh {_BUILD_SCRIPT}` (sources missing or stale)"
+        )
     fp = ctypes.POINTER(ctypes.c_float)
     ip = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -108,7 +142,7 @@ def _load() -> ctypes.CDLL:
     lib.surfd_scatter_u16_blocks.restype = None
     lib.surfd_scatter_u16_blocks.argtypes = [
         fp, ctypes.c_int32, ip, ctypes.c_int64, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_uint16), ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_float, fp, ctypes.c_float,
     ]
     lib.surfd_reset_blocks.restype = None
     lib.surfd_reset_blocks.argtypes = [
@@ -219,20 +253,28 @@ def mt_corner_ranks(near_gids: np.ndarray, cube_ids: np.ndarray, R: int) -> np.n
 
 def scatter_u16_blocks(
     grid: np.ndarray, ab: np.ndarray, vals: np.ndarray, block: int, scale: float,
-    bias: float = 0.0,
+    bias: np.ndarray | None = None, clamp_min: float = 0.0,
 ) -> None:
     """Write (M, B³) u16 blocks into the (R,R,R) f32 grid, dequantizing by
-    `scale` (and subtracting `bias` — surface-bias calibration) in the same
-    pass. grid is modified in place."""
+    `scale`, subtracting the per-block surface-bias calibration `bias`
+    ((M,) f32, or None for none), and clamping at `clamp_min` ≥ 0 — all in
+    the same pass. grid is modified in place."""
     lib = _load()
     assert grid.dtype == np.float32 and grid.flags.c_contiguous
     a = np.ascontiguousarray(ab, dtype=np.int32)
     v = np.ascontiguousarray(vals, dtype=np.uint16)
+    fp = ctypes.POINTER(ctypes.c_float)
+    if bias is not None:
+        b = np.ascontiguousarray(bias, dtype=np.float32)
+        assert len(b) == len(a)
+        bptr = b.ctypes.data_as(fp)
+    else:
+        bptr = ctypes.cast(None, fp)
     lib.surfd_scatter_u16_blocks(
-        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), grid.shape[0],
+        grid.ctypes.data_as(fp), grid.shape[0],
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a), block,
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), ctypes.c_float(scale),
-        ctypes.c_float(bias),
+        bptr, ctypes.c_float(clamp_min),
     )
 
 

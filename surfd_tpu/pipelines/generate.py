@@ -62,7 +62,7 @@ def make_udf_fn(
     (
         udf_base, below_base, grad_base, jits, udf_u16_base, grad_i8_base,
         below_packed_base, below_packed_q16_base, grad_i8_gid_base_for,
-        below2t_packed_q16_base, jit_bf16_err,
+        below2t_packed_q16_base, jit_bf16_err, biased_q16_bases_for,
     ) = _decoder_eval_fns(decoder, float(max_dist))
     jit_udf, jit_below, jit_grad = jits
 
@@ -146,6 +146,42 @@ def make_udf_fn(
         f.stable = (below2t_packed_q16_base, bargs)
         return f
 
+    # Bias-field variants: `btbl_dev` is the per-block surface-bias floor
+    # table ((nb³,) uint8, already on device — the caller uploads it once per
+    # extraction); the filter compares udf(p) − bias(p) against thr. Scalar
+    # args are cached like the unbiased bounds (each fresh jnp scalar costs a
+    # tunnel round trip); the table slots in last, per call.
+    def below_packed_q16_biased_bound(thr, qlo, qstep, bscale, bcell_inv, nb, btbl_dev):
+        base, _ = biased_q16_bases_for(int(nb))
+        key = ("q16b", float(thr), float(qlo), float(qstep), float(bscale),
+               float(bcell_inv), int(nb))
+        if key not in _thr_cache:
+            _thr_cache[key] = (
+                dvars, lat, jnp.float32(thr), jnp.float32(qlo),
+                jnp.float32(qstep), jnp.float32(bscale), jnp.float32(bcell_inv),
+            )
+        bargs = _thr_cache[key] + (btbl_dev,)
+        f = lambda p: base(bargs, p)
+        f.stable = (base, bargs)
+        return f
+
+    def below2t_packed_q16_biased_bound(
+        thr, qlo, qstep, band, bscale, bcell_inv, nb, btbl_dev
+    ):
+        _, base2t = biased_q16_bases_for(int(nb))
+        key = ("q16b_2t", float(thr), float(qlo), float(qstep), float(band),
+               float(bscale), float(bcell_inv), int(nb))
+        if key not in _thr_cache:
+            _thr_cache[key] = (
+                dvars, lat, jnp.float32(thr), jnp.float32(qlo),
+                jnp.float32(qstep), jnp.float32(band), jnp.float32(bscale),
+                jnp.float32(bcell_inv),
+            )
+        bargs = _thr_cache[key] + (btbl_dev,)
+        f = lambda p: base2t(bargs, p)
+        f.stable = (base2t, bargs)
+        return f
+
     # gradient eval addressed by flat grid ids: the int32 gid upload is 3x
     # smaller than f32 positions (h2d is throttled after the first d2h)
     def grad_i8_gid_bound(R, lo, spacing):
@@ -160,6 +196,8 @@ def make_udf_fn(
     udf_fn.below_packed_bound = below_packed_bound
     udf_fn.below_packed_q16_bound = below_packed_q16_bound
     udf_fn.below2t_packed_q16_bound = below2t_packed_q16_bound
+    udf_fn.below_packed_q16_biased_bound = below_packed_q16_biased_bound
+    udf_fn.below2t_packed_q16_biased_bound = below2t_packed_q16_biased_bound
     udf_fn.two_tier_band = two_tier_band
     udf_fn.grad_i8_gid_bound = grad_i8_gid_bound
     return udf_fn
@@ -220,6 +258,48 @@ def _decoder_eval_fns(decoder: CbnDecoder, max_dist: float):
             [jnp.packbits(u <= thr), jnp.packbits(jnp.abs(u - thr) > band)]
         )
 
+    # Bias-field-aware filter bases, keyed by nb (the block-grid resolution):
+    # the surface-bias calibration is a per-block floor field (geometry.
+    # estimate_surface_bias_field), so the filter must widen its threshold by
+    # the LOCAL bias at each query point. The (nb³,) uint8 table + scales
+    # ride as jit arguments (the caller uploads the table once per
+    # extraction); per-nb closures keep shapes static per executable.
+    biased_bases: dict = {}
+
+    def _bias_at(pts, args_tail, nb):
+        qlo, bscale, bcell_inv, btbl = args_tail
+        bi = jnp.clip(((pts - qlo) * bcell_inv).astype(jnp.int32), 0, nb - 1)
+        flat = (bi[:, 0] * nb + bi[:, 1]) * nb + bi[:, 2]
+        return btbl[flat].astype(jnp.float32) * bscale
+
+    def biased_q16_bases_for(nb):
+        if nb not in biased_bases:
+
+            def q16b_base(args, qpts, _nb=nb):
+                variables, lat, thr, qlo, qstep, bscale, binv, btbl = args
+                pts = qpts.astype(jnp.float32) * qstep + qlo
+                u = udf_base((variables, lat), pts)
+                b = _bias_at(pts, (qlo, bscale, binv, btbl), _nb)
+                return jnp.packbits(u - b <= thr)
+
+            def q16b2t_base(args, qpts, _nb=nb):
+                # two-tier (folded bf16 + sure mask), bias-corrected — see
+                # below2t_packed_q16_base for the tier semantics
+                from ..ops.decoder_kernel import fold_decoder, folded_udf
+
+                variables, lat, thr, qlo, qstep, band, bscale, binv, btbl = args
+                pts = qpts.astype(jnp.float32) * qstep + qlo
+                folded = fold_decoder(variables, lat, max_dist)
+                u = folded_udf(folded, pts) - _bias_at(
+                    pts, (qlo, bscale, binv, btbl), _nb
+                )
+                return jnp.stack(
+                    [jnp.packbits(u <= thr), jnp.packbits(jnp.abs(u - thr) > band)]
+                )
+
+            biased_bases[nb] = (q16b_base, q16b2t_base)
+        return biased_bases[nb]
+
     def bf16_err_base(args, pts):
         # calibration probe: max |folded-bf16 − f32 apply| over a point batch
         from ..ops.decoder_kernel import fold_decoder, folded_udf
@@ -266,17 +346,31 @@ def _decoder_eval_fns(decoder: CbnDecoder, max_dist: float):
     return (
         udf_base, below_base, grad_base, jits, udf_u16_base, grad_i8_base,
         below_packed_base, below_packed_q16_base, grad_i8_gid_base_for,
-        below2t_packed_q16_base, jax.jit(bf16_err_base),
+        below2t_packed_q16_base, jax.jit(bf16_err_base), biased_q16_bases_for,
     )
 
 
+def make_field_bias_at(bias_field: np.ndarray, lo: float, cell: float):
+    """Host-side per-point lookup into the per-block surface-bias floor field
+    (nearest containing block — the field is block-constant by construction)."""
+    nb = bias_field.shape[0]
+
+    def bias_at(pts: np.ndarray) -> np.ndarray:
+        bi = np.clip(((pts - lo) * (1.0 / cell)).astype(np.int32), 0, nb - 1)
+        return bias_field[bi[:, 0], bi[:, 1], bi[:, 2]]
+
+    return bias_at
+
+
 def filter_faces_by_udf(
-    mesh: Mesh, udf_fn, threshold: float, chunk: int = 2**16
+    mesh: Mesh, udf_fn, threshold: float, chunk: int = 2**16, bias_at=None
 ) -> Mesh:
     """Drop faces with any edge endpoint/midpoint re-querying to UDF > threshold.
 
     Mirrors the reference's false-face filter (meshudf.py:356-379: edge
-    endpoints + midpoints, th_dist = 1/N).
+    endpoints + midpoints, th_dist = 1/N). bias_at: optional host callable
+    (P,3)→(P,) giving the local surface-bias floor; when set, the comparison
+    is udf(p) − bias_at(p) ≤ threshold via the f32 evaluator.
     """
     if len(mesh.faces) == 0:
         return mesh
@@ -301,7 +395,10 @@ def filter_faces_by_udf(
 
     below_bound = getattr(udf_fn, "below_bound", None)
     below_fn = getattr(udf_fn, "below_fn", None)
-    if below_bound is not None:
+    if bias_at is not None:
+        # per-point threshold widening needs the raw f32 values
+        ok = eval_in_chunks(udf_fn, pts, chunk) - bias_at(pts) <= threshold
+    elif below_bound is not None:
         ok = eval_in_chunks(below_bound(threshold), pts, chunk).astype(bool)
     elif below_fn is not None:
         ok = eval_in_chunks(lambda p: below_fn(p, threshold), pts, chunk).astype(bool)
@@ -324,13 +421,17 @@ class MeshExtractionConfig:
     # meshudf.py:371; raise the mult for weakly-fitted decoders whose UDF
     # floor sits above a voxel)
     face_filter_mult: float = 1.0
-    # surface-bias calibration (geometry.estimate_surface_bias): a BCE-trained
-    # decoder's UDF bottoms out at a floor b > 0 at the true surface; "auto"
-    # estimates b from the fill's per-block minima, subtracts it from the grid
-    # during the dequantize-scatter, and widens the face-filter threshold by
-    # the same amount. 0.0 disables (raw reference semantics); a float forces
-    # a known bias.
-    surface_bias: float | str = "auto"
+    # surface-bias calibration (geometry.estimate_surface_bias_field): a
+    # BCE-trained decoder's UDF bottoms out at a floor b(x) > 0 at the true
+    # surface; "auto" estimates a per-block floor field from the fill's block
+    # minima, subtracts it from the grid during the dequantize-scatter
+    # (clamped ≥ 0), and widens the face-filter threshold by the LOCAL bias
+    # at each query point. Default 0.0 = raw reference semantics
+    # (/root/reference/meshudf/meshudf.py has no such mechanism) so bench/
+    # parity numbers stay comparable; the generate/export CLIs opt into
+    # "auto" (cli/_common.py --surface_bias). A float forces a known uniform
+    # bias.
+    surface_bias: float | str = 0.0
     do_stabilize: bool = True
     do_smooth_borders: bool = True
     # filter-point uploads quantized to the 2^16 coords grid (half-step
@@ -377,9 +478,31 @@ def get_mesh_from_udf(
     )
     grid, stats = gf.fill(udf_fn, return_stats=True)
     times["grid_fill"] = time.perf_counter() - t0
-    # grid values already have the calibrated bias subtracted; every
-    # downstream re-query of the DECODER compares against threshold + bias
+    # Grid values already have the calibrated bias subtracted. Downstream
+    # re-queries of the DECODER widen their threshold by the LOCAL bias at
+    # each query point (surface_bias_field, per-block floor) when the
+    # evaluator supports it; `surf_bias` (the field median) is the scalar
+    # fallback for evaluators without per-point machinery.
     surf_bias = float(stats.get("surface_bias", 0.0) or 0.0)
+    bias_field = stats.get("surface_bias_field")
+    bias_tbl = bias_scale = bias_cell_inv = None
+    if bias_field is not None:
+        # uint8-quantize the (nb³) floor field for the on-device per-point
+        # lookup (quantization error ≤ bmax/510 ≪ a voxel); upload ONCE here
+        # so the filter's 2-3 dispatches reuse the committed device buffer
+        bmax = float(bias_field.max())
+        if bmax > 0:
+            nb_f = bias_field.shape[0]
+            bias_scale = bmax / 255.0
+            spacing_f = (cfg.coords_range[1] - cfg.coords_range[0]) / (cfg.resolution - 1)
+            # point → block index: idx = (p − lo)/spacing, block = idx/B
+            bias_cell_inv = 1.0 / ((cfg.resolution // nb_f) * spacing_f)
+            bias_tbl = jnp.asarray(
+                np.rint(bias_field.reshape(-1) / bias_scale).astype(np.uint8)
+            )
+        else:
+            bias_field = None
+            surf_bias = 0.0
     # the filler's activity test guarantees every near-band node is inside a
     # listed block — marching pass 1 scans only those (dilated), not R³
     active_blocks = (
@@ -438,6 +561,34 @@ def get_mesh_from_udf(
     times["marching"] = time.perf_counter() - t0
     stats["raw_faces"] = len(mesh.faces)
 
+    # --- hard output guards ---
+    # r4 lesson: bias-calibrated spike vertices escaped [-1,1] by 3 orders of
+    # magnitude. The t-clamp makes every MT vertex a convex combination of
+    # grid nodes, so this guard should never fire — it is the backstop that
+    # turns any future regression into a visible stat instead of a corrupt
+    # mesh. Also flag face counts that fill the near-band shell volumetrically
+    # (layered phantom surfaces) rather than tracing one surface through it.
+    voxel_g = (hi_ - lo_) / (cfg.resolution - 1)
+    if len(mesh.faces):
+        vlo, vhi = lo_ - 2 * voxel_g, hi_ + 2 * voxel_g
+        bad = ((mesh.vertices < vlo) | (mesh.vertices > vhi)).any(axis=1)
+        n_bad = int(bad.sum())
+        stats["oob_vertices"] = n_bad
+        if n_bad:
+            import warnings
+
+            warnings.warn(
+                f"extraction produced {n_bad} out-of-domain vertices — dropped "
+                f"(surface_bias={surf_bias:.4g}); this indicates a marching "
+                "interpolation regression"
+            )
+            keepf = ~bad[mesh.faces].any(axis=1)
+            mesh = remove_unreferenced_vertices(Mesh(mesh.vertices, mesh.faces[keepf]))
+    stats["face_budget_ratio"] = round(
+        len(mesh.faces) / max(stats.get("fine_points", 0), 1), 3
+    )
+    stats["face_explosion"] = stats["face_budget_ratio"] > 2.0
+
     fused = cfg.filter_faces and len(mesh.faces) > 0 and native.available()
     if fused:
         # Fused native path: the TPU evaluates the below-threshold mask at the
@@ -445,10 +596,20 @@ def get_mesh_from_udf(
         # C++ pass applies the keep filter and the whole cleanup chain (hole
         # fill, border smoothing, vertex merge).
         t0 = time.perf_counter()
-        threshold = cfg.face_filter_mult / cfg.resolution + surf_bias
         packed_bound = getattr(udf_fn, "below_packed_bound", None)
         below_bound = getattr(udf_fn, "below_bound", None)
         pre = q16_bound is not None and cfg.quantized_filter_points
+        # per-point threshold widening by the LOCAL surface-bias floor (the
+        # scalar fallback widens everywhere by the field median — it would
+        # admit phantom faces in low-floor regions and drop true ones in
+        # high-floor regions)
+        per_point = (
+            pre and bias_tbl is not None
+            and getattr(udf_fn, "below_packed_q16_biased_bound", None) is not None
+        )
+        threshold = cfg.face_filter_mult / cfg.resolution + (
+            0.0 if per_point else surf_bias
+        )
         two_tier = (
             pre and cfg.two_tier_filter
             and getattr(udf_fn, "below2t_packed_q16_bound", None) is not None
@@ -478,10 +639,22 @@ def get_mesh_from_udf(
             # back ea/eb so the cleanup skips its second sort
             # (finalize_mesh_pre).
             if two_tier:
-                bound = udf_fn.below2t_packed_q16_bound(threshold, lo_, qstep, band)
+                if per_point:
+                    bound = udf_fn.below2t_packed_q16_biased_bound(
+                        threshold, lo_, qstep, band,
+                        bias_scale, bias_cell_inv, bias_field.shape[0], bias_tbl,
+                    )
+                else:
+                    bound = udf_fn.below2t_packed_q16_bound(threshold, lo_, qstep, band)
                 rows = 2
             else:
-                bound = q16_bound(threshold, lo_, qstep)
+                if per_point:
+                    bound = udf_fn.below_packed_q16_biased_bound(
+                        threshold, lo_, qstep,
+                        bias_scale, bias_cell_inv, bias_field.shape[0], bias_tbl,
+                    )
+                else:
+                    bound = q16_bound(threshold, lo_, qstep)
                 rows = 0
             qverts = np.clip(
                 np.rint((mesh.vertices - lo_) * (1.0 / qstep)), 0, 65535
@@ -512,8 +685,15 @@ def get_mesh_from_udf(
                     # tier 2 (f32, exact): only the band points re-query
                     t1 = time.perf_counter()
                     qall = np.concatenate([qverts, qmids])
+                    if per_point:
+                        t2_bound = udf_fn.below_packed_q16_biased_bound(
+                            threshold, lo_, qstep,
+                            bias_scale, bias_cell_inv, bias_field.shape[0], bias_tbl,
+                        )
+                    else:
+                        t2_bound = q16_bound(threshold, lo_, qstep)
                     ok[uns] = eval_in_chunks(
-                        q16_bound(threshold, lo_, qstep), qall[uns],
+                        t2_bound, qall[uns],
                         cfg.max_batch, unpack_bits=True, mesh=cfg.mesh,
                     )
                     times["ff_t2"] = round(time.perf_counter() - t1, 3)
@@ -569,10 +749,19 @@ def get_mesh_from_udf(
     else:
         t0 = time.perf_counter()
         if cfg.filter_faces and len(mesh.faces):
-            mesh = filter_faces_by_udf(
-                mesh, udf_fn, cfg.face_filter_mult / cfg.resolution + surf_bias,
-                chunk=cfg.max_batch,
-            )
+            if bias_field is not None:
+                nb_f = bias_field.shape[0]
+                cell = (cfg.resolution // nb_f) * voxel_g
+                mesh = filter_faces_by_udf(
+                    mesh, udf_fn, cfg.face_filter_mult / cfg.resolution,
+                    chunk=cfg.max_batch,
+                    bias_at=make_field_bias_at(bias_field, lo_, cell),
+                )
+            else:
+                mesh = filter_faces_by_udf(
+                    mesh, udf_fn, cfg.face_filter_mult / cfg.resolution + surf_bias,
+                    chunk=cfg.max_batch,
+                )
             mesh = remove_unreferenced_vertices(mesh)
         times["face_filter"] = time.perf_counter() - t0
 

@@ -64,12 +64,19 @@ def make_ae_train_step(
     coords_encoder: Optional[CoordsEncoder] = None,
     max_dist: float = 0.1,
     grad_loss_weight: float = 0.1,
+    latent_reg_weight: float = 0.0,
 ):
     """Jitted AE train step.
 
     batch: pcd (B, Np, 3), coords (B, Q, 3), udf (B, Q) raw clipped distances,
     gradients (B, Q, 3). params = {'encoder': ..., 'decoder': ...} with
     matching batch_stats collections.
+
+    latent_reg_weight: optional L2 pull on the latent codes
+    (w · mean(latent²)). The reference has no such term; it compacts the
+    latent manifold so DIFFUSION-sampled latents land closer to codes the
+    decoder has seen — the open-sheet generation gap (MMD-Chamfer 340×
+    spheres in r4) traces to sampled latents decoding off-manifold.
     """
     enc = coords_encoder or CoordsEncoder()
 
@@ -104,6 +111,8 @@ def make_ae_train_step(
         grad_loss = jnp.where(mask[..., None], grad_err, 0.0).sum() / denom
 
         loss = udf_loss + grad_loss_weight * grad_loss
+        if latent_reg_weight:
+            loss = loss + latent_reg_weight * jnp.mean(latent**2)
         new_stats = {
             "encoder": enc_updates["batch_stats"],
             "decoder": dec_updates["batch_stats"],

@@ -623,3 +623,152 @@ def test_surface_bias_calibration_recovers_biased_field():
         return_stats=True,
     )
     assert stats_c["surface_bias"] == 0.0
+
+
+def test_native_abi_version_matches():
+    """native.py's ctypes prototypes must match the built library's ABI —
+    a stale .so called through newer prototypes silently corrupts arguments
+    (ADVICE r4: the scatter bias argument was dropped without error)."""
+    import ctypes
+
+    from surfd_tpu import native
+
+    lib = native._load()
+    lib.surfd_abi_version.restype = ctypes.c_int64
+    assert int(lib.surfd_abi_version()) == native._ABI_VERSION
+
+
+def test_marching_t_clamp_no_spike_vertices():
+    """A grid that dips slightly below 0 (surface-bias subtraction overshoot)
+    must not extrapolate vertices outside their edges: t = ua/(ua+ub) with a
+    negative endpoint and a near-zero sum would place vertices thousands of
+    units outside the domain (r4 sheet_122: Hausdorff 3432 on [-1,1])."""
+    import numpy as np
+
+    from surfd_tpu.geometry.marching import marching_tetrahedra_udf
+
+    R = 16
+    xs = np.linspace(-1, 1, R, dtype=np.float32)
+    # plane UDF |x| (surface between nodes 7 and 8) ...
+    u = np.broadcast_to(np.abs(xs)[:, None, None], (R, R, R)).copy()
+    # ... with a poisoned y-edge at the x=8 plane: endpoints -0.06 and
+    # +0.0600001 -> edge sum su = 1e-7, unclamped t = -6e5 -> a vertex ~1e4
+    # units outside [-1,1]
+    u[8, 5, 5] = -0.06
+    u[8, 6, 5] = 0.0600001
+
+    def grad_at(pts):
+        g = np.zeros((len(pts), 3), np.float32)
+        g[:, 0] = np.where(pts[:, 0] > 0, 1.0, -1.0)
+        return g
+
+    for use_native in (False, True):
+        mesh = marching_tetrahedra_udf(u, grad_at, use_native=use_native)
+        assert len(mesh.faces) > 0
+        assert np.abs(mesh.vertices).max() <= 1.0 + 2 * (2.0 / (R - 1)), (
+            f"spike vertices escaped the domain (use_native={use_native})"
+        )
+
+
+def test_estimate_surface_bias_field_local_floors():
+    """The per-block floor field must recover spatially-varying floors (the
+    global p5 scalar under-corrects high-floor regions and over-corrects the
+    lowest), erode shell blocks down to their straddling neighbours, respect
+    the global deadzone, and cap spurious pocket floors at 3x the global low
+    tail."""
+    import numpy as np
+
+    from surfd_tpu.geometry import estimate_surface_bias_field
+
+    nb, spacing = 16, 0.01
+    rng = np.random.default_rng(0)
+
+    # two floor regions: b1 on the left half, b2 = 2.5*b1 on the right
+    b1, b2 = 0.004, 0.010
+    ab = []
+    bm = []
+    for x in range(nb):
+        for y in range(nb):
+            ab.append((x, y, 8))  # straddling slab
+            floor = b1 if x < nb // 2 else b2
+            bm.append(floor + rng.uniform(0, 0.1 * spacing))
+            ab.append((x, y, 9))  # shell slab: offset from the surface
+            bm.append(floor + 3.0 * spacing)
+    ab = np.array(ab, np.int32)
+    bm = np.array(bm, np.float32)
+    est = estimate_surface_bias_field(ab, bm, nb, spacing)
+    assert est is not None
+    bias_pb, field = est
+    assert field.shape == (nb, nb, nb)
+    straddle = ab[:, 2] == 8
+    left = straddle & (ab[:, 0] < nb // 2 - 2)
+    right = straddle & (ab[:, 0] >= nb // 2 + 2)
+    assert np.allclose(bias_pb[left], b1, atol=1.5e-3)
+    assert np.allclose(bias_pb[right], b2, atol=1.5e-3)
+    # shell blocks are eroded down to their straddling neighbours
+    shell_left = (~straddle) & (ab[:, 0] < nb // 2 - 2)
+    assert np.allclose(bias_pb[shell_left], b1, atol=1.5e-3)
+    # cap: a lone spurious pocket 5x the typical floor is not legitimized
+    ab2 = np.vstack([ab, [[0, 0, 0]]]).astype(np.int32)
+    bm2 = np.append(bm, 5 * b1).astype(np.float32)
+    bias2, _ = estimate_surface_bias_field(ab2, bm2, nb, spacing)
+    p5 = np.percentile(bm2, 5.0)
+    assert bias2[-1] <= 3.0 * p5 + 1e-9
+
+    # global deadzone: well-fitted decoder (all minima ~0) -> no correction
+    assert estimate_surface_bias_field(
+        ab, np.full(len(ab), 0.05 * spacing, np.float32), nb, spacing
+    ) is None
+
+
+def test_surface_bias_field_spatially_varying_floor():
+    """End-to-end: a decoder whose floor differs by 2.5x between two halves
+    of the domain. The local calibration must recover the surface in BOTH
+    halves (a global scalar either leaves the high-floor half unmeshed or
+    digs a negative shell into the low-floor one) and never emit
+    out-of-domain vertices."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from surfd_tpu.pipelines.generate import MeshExtractionConfig, get_mesh_from_udf
+
+    B1, B2 = 0.006, 0.015
+
+    def two_floor(p):
+        d = jnp.abs(jnp.linalg.norm(p, axis=-1) - 0.6)
+        return d + jnp.where(p[..., 0] < 0, B1, B2)
+
+    f = jax.jit(two_floor)
+    cfg = MeshExtractionConfig(resolution=96, max_batch=2**14, surface_bias="auto")
+    mesh, stats = get_mesh_from_udf(f, cfg=cfg, return_stats=True)
+    assert stats["oob_vertices"] == 0
+    assert np.abs(mesh.vertices).max() <= 1.0 + 4.0 / 95
+    r = np.abs(np.linalg.norm(mesh.vertices, axis=1) - 0.6)
+    assert r.mean() < 1e-3
+    # both halves must be present with surface-accurate vertices
+    left = mesh.vertices[:, 0] < -0.1
+    right = mesh.vertices[:, 0] > 0.1
+    assert left.sum() > 500 and right.sum() > 500
+    assert r[left].mean() < 1e-3 and r[right].mean() < 1e-3
+
+
+def test_dense_fill_auto_bias():
+    """On the dense path (block == 1) "auto" must estimate the floor from
+    the dense grid itself instead of silently resolving to 0 (ADVICE r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from surfd_tpu.geometry import GridFiller
+
+    BIAS = 0.02
+
+    def biased(p):
+        return jnp.abs(jnp.linalg.norm(p, axis=-1) - 0.5) + BIAS
+
+    gf = GridFiller(32, max_dist=0.06, surface_bias="auto", max_batch=2**14)
+    assert gf.block == 1  # max_dist too tight to sparsify at 32^3
+    grid, stats = gf.fill(jax.jit(biased), return_stats=True)
+    assert abs(stats["surface_bias"] - BIAS) < 5e-3
+    assert grid.min() >= 0.0
+    assert grid.min() < 0.005  # floor removed
