@@ -321,13 +321,21 @@ def main():
         dec_s, dv_s, lat_s, md_s, gt_s, item_s = run_phase("load_sheet_fixture", load_fixture)
         log(f"sheet fixture: trained decoder on {item_s} (max_dist {md_s})")
         udf_s = make_udf_fn(dec_s, dv_s, lat_s, max_dist=md_s)
+        # surface_bias="auto" is the production setting for trained decoders
+        # (the generate CLIs default to it): this decoder's UDF floor sits
+        # above the 1/512 face threshold, so the raw reference semantics the
+        # sphere phase measures would extract almost nothing here. Recorded
+        # explicitly so the sheet numbers aren't mistaken for raw-pipeline ones.
+        cfg_sheet = MeshExtractionConfig(
+            resolution=args.resolution, min_component_faces=0, surface_bias="auto"
+        )
         sheet_runs = []
         for i in range(3):
             if sheet_runs and time.perf_counter() + sheet_runs[0] * 1.3 > DEADLINE:
                 break
             def one_sheet():
                 t1 = time.perf_counter()
-                m, st = get_mesh_from_udf(udf_s, cfg=cfg, return_stats=True)
+                m, st = get_mesh_from_udf(udf_s, cfg=cfg_sheet, return_stats=True)
                 return time.perf_counter() - t1, m, st
 
             dt, mesh_s, stats_s = run_phase(f"sheet_extraction_{i}", one_sheet)
@@ -342,6 +350,9 @@ def main():
             if i == 0:
                 from surfd_tpu.geometry.metrics import chamfer_distance
 
+                _RESULT.update(
+                    sheet_surface_bias=round(float(stats_s.get("surface_bias", 0.0)), 6)
+                )
                 if len(mesh_s.faces) > 500:
                     sub = mesh_s.vertices[
                         np.random.default_rng(0).choice(

@@ -143,9 +143,32 @@ class TextTower(nn.Module):
 class Clip(nn.Module):
     """Both towers under one param tree, ViT-B/32 configuration."""
 
+    image_size: int = 224
+    patch_size: int = 32
+    vision_width: int = 768
+    vision_layers: int = 12
+    embed_dim: int = 512
+    vocab_size: int = 49408
+    context_length: int = 77
+    text_width: int = 512
+    text_layers: int = 12
+
     def setup(self):
-        self.visual = VisionTower(name="visual")
-        self.text = TextTower(name="text")
+        # one head per 64 channels — the published CLIP rule
+        # (CLIP/clip/model.py build_model:399-436 infers the whole config
+        # from the state dict the same way)
+        self.visual = VisionTower(
+            image_size=self.image_size, patch_size=self.patch_size,
+            width=self.vision_width, layers=self.vision_layers,
+            heads=max(self.vision_width // 64, 1), out_dim=self.embed_dim,
+            name="visual",
+        )
+        self.text = TextTower(
+            vocab_size=self.vocab_size, context_length=self.context_length,
+            width=self.text_width, layers=self.text_layers,
+            heads=max(self.text_width // 64, 1), out_dim=self.embed_dim,
+            name="text",
+        )
 
     def __call__(self, images, tokens):
         return self.visual(images), self.text(tokens)
@@ -157,13 +180,67 @@ class Clip(nn.Module):
         return self.apply(variables, tokens, method=lambda m, tk: m.text(tk))
 
 
-def init_clip(rng=None):
-    model = Clip()
+def init_clip(rng=None, **cfg):
+    model = Clip(**cfg)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     variables = model.init(
-        rng, jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32)
+        rng,
+        jnp.zeros((1, model.image_size, model.image_size, 3)),
+        jnp.zeros((1, model.context_length), jnp.int32),
     )
     return model, variables
+
+
+def clip_config_from_shapes(shape_of) -> dict:
+    """Infer the tower configuration from parameter shapes — the same
+    inference the reference performs on a raw state dict
+    (CLIP/clip/model.py build_model:399-436). `shape_of(key)` maps a
+    'params/...'-style flat key to its shape."""
+    import math
+
+    conv = shape_of("params/visual/conv1/kernel")  # (p, p, 3, width)
+    npos = shape_of("params/visual/positional_embedding")[0]
+    grid = int(math.isqrt(npos - 1))
+    layers = 0
+    while True:
+        try:
+            shape_of(f"params/visual/block_{layers}/ln_1/scale")
+            layers += 1
+        except KeyError:
+            break
+    tlayers = 0
+    while True:
+        try:
+            shape_of(f"params/text/block_{tlayers}/ln_1/scale")
+            tlayers += 1
+        except KeyError:
+            break
+    vocab, twidth = shape_of("params/text/token_embedding/embedding")
+    return dict(
+        patch_size=int(conv[0]),
+        vision_width=int(conv[3]),
+        image_size=int(conv[0]) * grid,
+        vision_layers=layers,
+        embed_dim=int(shape_of("params/visual/proj")[1]),
+        vocab_size=int(vocab),
+        context_length=int(shape_of("params/text/positional_embedding")[0]),
+        text_width=int(twidth),
+        text_layers=tlayers,
+    )
+
+
+def clip_config_from_variables(variables) -> dict:
+    import jax.tree_util as jtu
+
+    flat = {}
+    for kp, leaf in jtu.tree_flatten_with_path(variables)[0]:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        flat[key] = tuple(np.shape(leaf))
+
+    def shape_of(key):
+        return flat[key]
+
+    return clip_config_from_shapes(shape_of)
 
 
 # ---------------------------------------------------------------------------
@@ -333,7 +410,9 @@ def convert_torch_clip_state_dict(sd) -> dict:
         bq, bk, bv = np.split(b, 3, axis=0)
         ow = g(f"{prefix}.attn.out_proj.weight")
         ob = g(f"{prefix}.attn.out_proj.bias")
-        heads = 12 if width == 768 else 8
+        # the published CLIP rule (CLIP/clip/model.py build_model): one head
+        # per 64 channels (768→12, 512→8); holds for every zoo checkpoint
+        heads = max(width // 64, 1)
         hd = width // heads
 
         def shape_in(wm, bm):
@@ -365,6 +444,17 @@ def convert_torch_clip_state_dict(sd) -> dict:
             },
         }
 
+    # infer tower sizes from the state dict itself (ViT-B/32 is 12×768 /
+    # 12×512, but the layout rule generalizes to any ViT checkpoint)
+    def n_blocks(prefix):
+        i = 0
+        while f"{prefix}.{i}.ln_1.weight" in sd:
+            i += 1
+        return i
+
+    vis_width = int(np.asarray(sd["visual.ln_pre.weight"]).shape[0])
+    txt_width = int(np.asarray(sd["ln_final.weight"]).shape[0])
+
     visual = {
         # torch conv (out, in, kh, kw) → flax (kh, kw, in, out)
         "conv1": {"kernel": g("visual.conv1.weight").transpose(2, 3, 1, 0)},
@@ -374,8 +464,8 @@ def convert_torch_clip_state_dict(sd) -> dict:
         "ln_post": {"scale": g("visual.ln_post.weight"), "bias": g("visual.ln_post.bias")},
         "proj": g("visual.proj"),
     }
-    for i in range(12):
-        visual[f"block_{i}"] = block(f"visual.transformer.resblocks.{i}", 768)
+    for i in range(n_blocks("visual.transformer.resblocks")):
+        visual[f"block_{i}"] = block(f"visual.transformer.resblocks.{i}", vis_width)
 
     text = {
         "token_embedding": {"embedding": g("token_embedding.weight")},
@@ -383,8 +473,8 @@ def convert_torch_clip_state_dict(sd) -> dict:
         "ln_final": {"scale": g("ln_final.weight"), "bias": g("ln_final.bias")},
         "text_projection": g("text_projection"),
     }
-    for i in range(12):
-        text[f"block_{i}"] = block(f"transformer.resblocks.{i}", 512)
+    for i in range(n_blocks("transformer.resblocks")):
+        text[f"block_{i}"] = block(f"transformer.resblocks.{i}", txt_width)
 
     return {"params": {"visual": visual, "text": text}}
 
@@ -471,7 +561,7 @@ def load_clip(name_or_path: str = "ViT-B/32", cache_dir: Optional[str] = None):
         return load_clip_params(npz_cache)
     variables = jax.tree.map(jnp.asarray, convert_torch_clip_file(pt_path))
     save_clip_params(npz_cache, variables)
-    return _BoundClip(Clip()), variables
+    return _BoundClip(Clip(**clip_config_from_variables(variables))), variables
 
 
 def save_clip_params(npz_path: str, variables) -> None:
@@ -483,7 +573,9 @@ def save_clip_params(npz_path: str, variables) -> None:
 def load_clip_params(npz_path: str):
     from ..utils.checkpoint import load_params_npz
 
-    model, template = init_clip()
+    with np.load(npz_path) as z:
+        cfg = clip_config_from_shapes(lambda k: z[k].shape)
+    model, template = init_clip(**cfg)
     variables = load_params_npz(npz_path, template)
     return _BoundClip(model), variables
 

@@ -232,3 +232,68 @@ def test_encode_contexts_cli(tmp_path, monkeypatch):
     item = ds[0]
     assert item["context"].shape == (512,)
     assert np.abs(item["context"]).sum() > 0  # the real embedding, not the zero fallback
+
+
+@pytest.mark.slow
+def test_trained_field_bias_extraction_256():
+    """Regression (r4 blowup): the SHIPPED trained sheet decoder fixture at
+    256³ with surface_bias="auto" must extract a bounded, surface-accurate
+    open sheet — no out-of-domain vertices (sheet_122 emitted Hausdorff-3432
+    spikes in r4), no face-count explosion, Chamfer vs the ground-truth
+    surface samples well under the 0.01 blowup bar."""
+    import jax
+    import jax.numpy as jnp
+
+    from surfd_tpu.geometry.metrics import chamfer_distance
+    from surfd_tpu.models import CbnDecoder, CoordsEncoder
+    from surfd_tpu.pipelines import (
+        MeshExtractionConfig,
+        get_mesh_from_udf,
+        make_udf_fn,
+    )
+
+    fx = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "surfd_tpu", "assets", "bench_sheet_decoder.npz",
+    )
+    if not os.path.exists(fx):
+        pytest.skip("bench_sheet_decoder.npz not shipped in this checkout")
+    z = np.load(fx)
+    dec = CbnDecoder(
+        latent_dim=len(z["latent"]),
+        hidden_dim=int(z["hidden_dim"]),
+        num_hidden_layers=int(z["num_hidden_layers"]),
+    )
+    ce = CoordsEncoder()
+    tmpl = dec.init(
+        jax.random.PRNGKey(0), ce.encode(jnp.zeros((1, 8, 3))),
+        jnp.zeros((1, len(z["latent"]))),
+    )
+    import jax.tree_util as jtu
+
+    flat, treedef = jtu.tree_flatten_with_path(tmpl)
+    leaves = []
+    for kp, leaf in flat:
+        key = "dec/" + "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
+        )
+        leaves.append(jnp.asarray(z[key].astype(np.asarray(leaf).dtype)))
+    dv = jtu.tree_unflatten(treedef, leaves)
+
+    udf_fn = make_udf_fn(dec, dv, jnp.asarray(z["latent"]), max_dist=float(z["max_dist"]))
+    mesh, stats = get_mesh_from_udf(
+        udf_fn,
+        cfg=MeshExtractionConfig(resolution=256, surface_bias="auto"),
+        return_stats=True,
+    )
+    assert stats["oob_vertices"] == 0
+    assert np.abs(mesh.vertices).max() <= 1.0 + 4.0 / 255
+    assert not stats["face_explosion"], stats["face_budget_ratio"]
+    assert len(mesh.faces) > 10_000  # the sheet actually extracted
+    sub = mesh.vertices[
+        np.random.default_rng(0).choice(
+            len(mesh.vertices), min(20_000, len(mesh.vertices)), replace=False
+        )
+    ]
+    cd = chamfer_distance(sub, z["surface_samples"].astype(np.float32))
+    assert cd < 0.008, f"trained-field chamfer {cd}"

@@ -221,11 +221,15 @@ def test_clip_fp16_checkpoint_conversion(tmp_path):
 
     ref_mod = _load_ref_module("ref_clip_model_fp16", "CLIP/clip/model.py")
     torch.manual_seed(1)
+    # tiny config: the fp16 cast/convert/memoize semantics under test are
+    # size-independent, and the full ViT-B/32 build+convert took 167 s of the
+    # default suite (r4 weak #5); full-size numerical parity is covered by
+    # test_clip_matches_reference_vit
     ref = ref_mod.CLIP(
-        embed_dim=512, image_resolution=224, vision_layers=12,
-        vision_width=768, vision_patch_size=32, context_length=77,
-        vocab_size=49408, transformer_width=512, transformer_heads=8,
-        transformer_layers=12,
+        embed_dim=64, image_resolution=32, vision_layers=2,
+        vision_width=128, vision_patch_size=16, context_length=77,
+        vocab_size=1024, transformer_width=64, transformer_heads=2,
+        transformer_layers=2,
     ).eval()
 
     sd32 = {k: v.clone() for k, v in ref.state_dict().items()}

@@ -619,3 +619,59 @@ with StallWatchdog(timeout_s=1.0, first_grace_s=0.5) as wd:
     assert ok.returncode == 0
     wedged = subprocess.run([sys.executable, "-c", prog, "wedged"], env=env, timeout=120)
     assert wedged.returncode == 42
+
+
+def test_e2e_smoke_sample_decode_extract():
+    """Default-tier flagship-path smoke (r4 weak #5: the e2e guard must not
+    live only behind SURFD_RUN_SLOW): diffusion-sample latents through a tiny
+    MDM, bind one to a tiny decoder, extract at 48³ through the full
+    production pipeline (block-sparse fill → marching → face filter →
+    cleanup), and sanity-check the mesh. Random weights — this guards the
+    glue, not quality."""
+    from surfd_tpu.diffusion.schedule import (
+        named_beta_schedule,
+        space_timesteps,
+        spaced_schedule,
+    )
+    from surfd_tpu.models import MDM
+    from surfd_tpu.pipelines import (
+        MeshExtractionConfig,
+        get_mesh_from_udf,
+        make_udf_fn,
+        sample_latents,
+    )
+
+    L = 8
+    mdm = MDM(cond_mode="no_cond", model_channels=16, channel_mult=(1, 2),
+              num_res_blocks=1)
+    x = jnp.zeros((2, L, 1), jnp.float32)
+    t0 = jnp.zeros((2,), jnp.int32)
+    mvars = mdm.init(jax.random.PRNGKey(0), x, t0)
+    sched = spaced_schedule(
+        named_beta_schedule("cosine", 64), space_timesteps(64, "ddim8")
+    )
+
+    def model_fn(xt, t):
+        return mdm.apply(mvars, xt, t)
+
+    lats = sample_latents(sched, model_fn, 2, L, jax.random.PRNGKey(1), sampler="ddim")
+    assert lats.shape == (2, L) and np.isfinite(np.asarray(lats)).all()
+
+    decoder = CbnDecoder(latent_dim=L, hidden_dim=32, num_hidden_layers=2)
+    ce = CoordsEncoder()
+    dvars = decoder.init(
+        jax.random.PRNGKey(2), ce.encode(jnp.zeros((1, 64, 3))), lats[:1]
+    )
+    udf_fn = make_udf_fn(decoder, dvars, lats[0:1], max_dist=0.1)
+    mesh, stats = get_mesh_from_udf(
+        udf_fn,
+        cfg=MeshExtractionConfig(resolution=48, max_batch=2**14,
+                                 surface_bias="auto"),
+        return_stats=True,
+    )
+    # random decoder: mesh may be empty or small, but the pipeline must
+    # produce a clean, in-domain result with coherent stats
+    assert stats.get("oob_vertices", 0) == 0
+    if len(mesh.vertices):
+        assert np.abs(mesh.vertices).max() <= 1.0 + 4.0 / 47
+        assert mesh.faces.max() < len(mesh.vertices)
