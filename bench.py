@@ -245,6 +245,17 @@ def main():
     # number; later runs, budget permitting, only improve it.  The shared
     # tunnel/VM adds ±50% run-to-run noise; min is the machine capability. ---
     runs = []
+    rss_mb = []
+
+    def _rss_now_mb():
+        # current resident set (not the ru_maxrss high-water mark): run-over-
+        # run growth here localizes residual first-touch / arena-miss cost
+        # (VERDICT r4 next #6 asked for per-run RSS in the bench stats)
+        try:
+            with open("/proc/self/statm") as fh:
+                return int(fh.read().split()[1]) * os.sysconf("SC_PAGESIZE") // (1 << 20)
+        except OSError:
+            return -1
 
     def one_extraction():
         t1 = time.perf_counter()
@@ -258,8 +269,9 @@ def main():
             break
         dt, mesh, stats = run_phase(f"extraction_{i}", one_extraction)
         runs.append(dt)
+        rss_mb.append(_rss_now_mb())
         log(f"extraction run {i}{' (warm-up)' if i == 0 else ''}: "
-            f"{dt:.2f}s  {stats['times']}")
+            f"{dt:.2f}s  rss {rss_mb[-1]} MB  {stats['times']}")
         # best-of-completed: exclude the warm-up run once a clean run exists
         timed = runs[1:] if len(runs) > 1 else runs
         best = min(timed)
@@ -271,6 +283,7 @@ def main():
             vs_baseline=round(5.0 / total, 3),
             median_s=round(t_sample + float(np.median(timed)), 3),
             runs=[round(r, 2) for r in runs],
+            rss_mb=list(rss_mb),
         )
         log(f"result so far: {_RESULT['value']}s (vs_baseline {_RESULT['vs_baseline']})")
         if i == 0:

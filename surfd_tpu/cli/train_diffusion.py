@@ -61,6 +61,12 @@ def main():
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--captions_csv", default="")
+    ap.add_argument("--clip_npz", default="",
+                    help="CLIP weights npz for text conditioning (the same "
+                    "file generate_text consumes); required for --cond_mode "
+                    "text — captions are encoded once per batch through the "
+                    "frozen text tower (training_loop_single.py:122-125 "
+                    "analogue; the reference re-encodes inside the denoiser)")
     # category conditioning: class map file in the garment_type_list.txt
     # format (`<name> <id> <id> ...` per line, data_loaders/dataset.py:129-137);
     # num_actions 0 = auto (list length, else the reference default 9)
@@ -120,6 +126,26 @@ def main():
         print("WARNING: no AE encoder weights; using random encoder", file=sys.stderr)
 
     encoder_apply = lambda p: encoder.apply(enc_vars, p)  # noqa: E731
+
+    # text conditioning: captions → frozen CLIP text tower → (B, 512)
+    # contexts, once per batch on the host side of the iterator (the trainer
+    # consumes only 'context'; without this, text batches would silently
+    # train unconditioned)
+    encode_text = None
+    if args.cond_mode == "text":
+        if not args.clip_npz:
+            raise SystemExit(
+                "--cond_mode text requires --clip_npz (CLIP text-tower "
+                "weights; see models.clip.load_clip / save_clip_params)"
+            )
+        from ..models.clip import load_clip, tokenize
+
+        clip_model, clip_vars = load_clip(args.clip_npz)
+        tok_jit = jax.jit(lambda t: clip_model.encode_text(clip_vars, t))
+
+        def encode_text(texts):
+            return np.asarray(tok_jit(jnp.asarray(tokenize(texts))))
+
     if args.precompute_latents:
         from ..data.datasets import latent_diffusion_batch_iterator, precompute_latents
 
@@ -129,12 +155,13 @@ def main():
         )
         print(f"precomputed {len(lat_map)} latents", file=sys.stderr)
         data_iter = latent_diffusion_batch_iterator(
-            dataset, lat_map, args.batch_size, np_rng
+            dataset, lat_map, args.batch_size, np_rng, encode_text=encode_text
         )
         encoder_apply = None
     else:
         data_iter = diffusion_batch_iterator(
-            dataset, args.batch_size, args.num_points_pcd, np_rng
+            dataset, args.batch_size, args.num_points_pcd, np_rng,
+            encode_text=encode_text,
         )
     # overlap host batch prep with the device step (np_rng is owned by the
     # producer thread from here on — nothing else on the main thread uses it)

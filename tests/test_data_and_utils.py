@@ -467,3 +467,55 @@ def test_csv_sink_preserves_history_across_restart(tmp_path):
     assert [r["step"] for r in rows] == ["10", "20", "30"]
     assert rows[0]["new_key"] == ""  # grown column back-filled empty
     assert rows[2]["loss"] == "0.25"
+
+
+def test_text_batches_carry_encoded_contexts(tmp_path):
+    """Text-mode diffusion batches must contain (B, 512) CLIP contexts when
+    an encode_text is wired (without one the trainer consumes only 'context'
+    and would silently train unconditioned), and distinct captions must map
+    to distinct contexts."""
+    import jax
+    import jax.numpy as jnp
+
+    from surfd_tpu.data import DiffusionDataset
+    from surfd_tpu.data.datasets import diffusion_batch_iterator
+    from surfd_tpu.models.clip import init_clip, tokenize
+
+    root = tmp_path / "corpus"
+    (root / "train").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    caps = {
+        "sphere_000": "a smooth closed sphere",
+        "sheet_001": "an open flat sheet",
+    }
+    for fid in caps:
+        np.savez(
+            root / "train" / f"{fid}.npz",
+            pcd=rng.normal(size=(256, 3)).astype(np.float32),
+            coords=rng.normal(size=(64, 3)).astype(np.float32),
+            labels=rng.uniform(0, 0.1, 64).astype(np.float32),
+            gradients=rng.normal(size=(64, 3)).astype(np.float32),
+        )
+    with open(root / "captions.csv", "w") as f:
+        f.write("id,caption\n")
+        for k, v in caps.items():
+            f.write(f"{k},{v}\n")
+
+    ds = DiffusionDataset(str(root), "train", cond_mode="text",
+                          captions_csv=str(root / "captions.csv"))
+    # tiny random towers but the real 512-d context the MDM consumes
+    model, cvars = init_clip(
+        vision_layers=1, vision_width=64, text_width=64, text_layers=1,
+        embed_dim=512, image_size=32, patch_size=16,
+    )
+
+    def encode_text(texts):
+        return np.asarray(model.encode_text(cvars, jnp.asarray(tokenize(texts))))
+
+    it = diffusion_batch_iterator(ds, 2, 64, np.random.default_rng(1),
+                                  encode_text=encode_text, shuffle=False)
+    batch = next(it)
+    assert batch["context"].shape == (2, 512)
+    assert np.isfinite(batch["context"]).all()
+    # different captions -> different contexts
+    assert not np.allclose(batch["context"][0], batch["context"][1])
