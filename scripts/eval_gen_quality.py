@@ -52,12 +52,20 @@ def main():
     # floaters filter like the reference sample scripts (generate_uncond.py:
     # 117-122 mincomponentsize 2500); 0 disables
     ap.add_argument("--min_component_faces", type=int, default=2500)
+    ap.add_argument("--surface_bias", default="auto",
+                    help="decoder-floor calibration for extraction; 'auto' "
+                         "matches the generate_* CLIs (config default is 0.0)")
     ap.add_argument("--seed", type=int, default=10)
     ap.add_argument("--out", default="/tmp/surfd_gen_eval")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
-    from surfd_tpu.cli._common import build_schedule, load_decoder, load_denoiser
+    from surfd_tpu.cli._common import (
+        build_schedule,
+        load_decoder,
+        load_denoiser,
+        parse_surface_bias,
+    )
     from surfd_tpu.data.manifests import load_garment_categories
     from surfd_tpu.geometry import write_obj
     from surfd_tpu.geometry.marching import Mesh
@@ -120,6 +128,7 @@ def main():
                 cfg=MeshExtractionConfig(
                     resolution=args.resolution,
                     min_component_faces=args.min_component_faces,
+                    surface_bias=parse_surface_bias(args.surface_bias),
                 ),
                 return_stats=True,
             )

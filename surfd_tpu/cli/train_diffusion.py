@@ -49,6 +49,12 @@ def main():
                          "step — cache at save_dir/latents_cache.npz")
     ap.add_argument("--schedule_sampler", default="uniform",
                     choices=["uniform", "loss-second-moment"])
+    ap.add_argument("--steps_per_call", type=int, default=1,
+                    help="run K train steps per device call (lax.scan over an "
+                         "on-device latent bank). Requires --precompute_latents "
+                         "+ the uniform sampler; removes the per-step host "
+                         "dispatch round trip, which dominates on a tunneled "
+                         "device link. 1 = classic per-step loop.")
     ap.add_argument("--cond_mask_prob", type=float, default=0.0,
                     help="conditioning-dropout prob for CFG training "
                          "(reference mdm.py:27 stored this but never applied it)")
@@ -218,7 +224,32 @@ def main():
         encoder_apply=encoder_apply,
         checkpointer=ck, logger=logger, mesh=mesh,
     )
-    final = trainer.run(rng=rng)
+    if args.steps_per_call > 1:
+        # chunked scan path: the whole (tiny) latent dataset lives on-device;
+        # conditioning payloads are per-item constants (datasets._attach_cond)
+        # so they bank the same way
+        if not args.precompute_latents:
+            raise SystemExit("--steps_per_call > 1 requires --precompute_latents")
+        if args.schedule_sampler != "uniform":
+            raise SystemExit("--steps_per_call > 1 requires the uniform sampler")
+        if mesh is not None:
+            print("steps_per_call > 1 runs single-device; ignoring mesh",
+                  file=sys.stderr)
+            trainer.mesh = None
+        items = [dataset.cond_item(i) for i in range(len(dataset))]
+        bank = {"latents": jnp.asarray(np.stack([lat_map[it["id"]] for it in items]))}
+        if args.cond_mode == "category":
+            bank["action"] = jnp.asarray([it["action"] for it in items], jnp.int32)
+        elif args.cond_mode == "text":
+            bank["context"] = jnp.asarray(
+                np.concatenate([encode_text([it["text"] for it in items[s:s + 16]])
+                                for s in range(0, len(items), 16)])
+            )
+        elif args.cond_mode in ("sketch", "img"):
+            bank["context"] = jnp.asarray(np.stack([it["context"] for it in items]))
+        final = trainer.run_chunked(bank, args.steps_per_call, rng=rng)
+    else:
+        final = trainer.run(rng=rng)
     ck.save(int(final.step), final, force=True)
     ck.wait()
     print(f"done at step {int(final.step)}", file=sys.stderr)

@@ -146,6 +146,38 @@ def make_train_step(
     return train_step
 
 
+def make_chunked_train_step(step_fn, bank):
+    """K train steps per device call: `lax.scan` over an on-device data bank.
+
+    The per-step loop pays one host→device dispatch round trip per step —
+    negligible locally, but dominant over a tunneled device link (and the
+    reference pays the same per-step Python/DataLoader overhead,
+    /root/reference/training_loop_single.py:254-297). With precomputed
+    latents the whole dataset is a few KB, so it can live on-device and K
+    steps can run as ONE compiled program. The host keeps full ownership of
+    randomness and data order: it supplies per-step batch-index rows,
+    timesteps, importance weights, and PRNG keys, so one chunk is exactly
+    the Python loop over `step_fn` with the same inputs — identical to
+    ULP-level fusion reordering (parity tested in
+    tests/test_training_and_pipeline.py).
+
+    bank: per-item device arrays — 'latents' (N, L) plus optional 'action'
+    (N,) / 'context' (N, 512) rows, gathered per step by index.
+    """
+
+    def run_chunk(state: TrainState, idx, t, weights, rngs):
+        # idx/t/weights: (K, B); rngs: (K,) PRNG keys
+        def body(st, xs):
+            i, tt, ww, rr = xs
+            batch = {k: v[i] for k, v in bank.items()}
+            st, m = step_fn(st, batch, tt, ww, rr)
+            return st, {k: v for k, v in m.items() if k != "per_example_loss"}
+
+        return jax.lax.scan(body, state, (idx, t, weights, rngs))
+
+    return jax.jit(run_chunk)
+
+
 class DiffusionTrainer:
     """Host-side training loop driving the jitted step.
 
@@ -238,6 +270,73 @@ class DiffusionTrainer:
                     self.logger.log_metrics(
                         {k: float(v) for k, v in host.items()}, step=step,
                     )
+                if self.checkpointer and step % self.cfg.save_interval == 0:
+                    self.checkpointer.save(step, self.state)
+        return self.state
+
+    def run_chunked(self, bank, steps_per_call: int, num_steps=None, rng=None):
+        """Drive training through make_chunked_train_step (K steps per device
+        call). Data order is the same epoch-permutation scheme as
+        latent_diffusion_batch_iterator; t/weights come from the same
+        schedule sampler on the same host RNG. Uniform sampler only — the
+        loss-aware sampler needs per-step loss feedback on the host.
+        """
+        from .common import GracefulShutdown, StallWatchdog
+
+        if self.schedule_sampler.needs_losses:
+            raise ValueError("chunked training requires the uniform sampler")
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        num_steps = num_steps or self.cfg.num_steps
+        chunk_fn = make_chunked_train_step(self._step_fn, bank)
+        B = self.cfg.batch_size
+        n = int(jax.tree.leaves(bank)[0].shape[0])
+        if n < B:
+            raise ValueError(f"bank of {n} items < batch size {B}")
+
+        def index_rows():
+            while True:
+                order = self._np_rng.permutation(n)
+                for s in range(0, n - B + 1, B):
+                    yield order[s : s + B]
+
+        rows = index_rows()
+        step = int(self.state.step)
+        with GracefulShutdown() as stop, \
+                StallWatchdog(self.cfg.stall_exit_s) as wd:
+            while step < num_steps:
+                if stop.requested:
+                    if self.checkpointer:
+                        self.checkpointer.save(step, self.state, force=True)
+                        self.checkpointer.wait()
+                    if self.logger:
+                        self.logger.log_metrics({"preempted": 1.0}, step)
+                    return self.state
+                # stop the chunk at the next log/save boundary so cadence
+                # matches the per-step path
+                K = min(steps_per_call, num_steps - step)
+                for interval in (self.cfg.log_interval, self.cfg.save_interval):
+                    if interval:
+                        K = min(K, interval - step % interval)
+                idx = np.stack([next(rows) for _ in range(K)]).astype(np.int32)
+                t, w = self.schedule_sampler.sample(K * B, self._np_rng)
+                rng, sub = jax.random.split(rng)
+                rngs = jax.random.split(sub, K)
+                self.state, ms = chunk_fn(
+                    self.state,
+                    jnp.asarray(idx),
+                    jnp.asarray(np.asarray(t).reshape(K, B)),
+                    jnp.asarray(np.asarray(w).reshape(K, B)),
+                    rngs,
+                )
+                wd.tick()
+                step += K
+                if self.logger and step % self.cfg.log_interval == 0:
+                    host = jax.device_get(ms)  # (K,) per scalar key
+                    out = {k: float(np.asarray(v)[-1]) for k, v in host.items()}
+                    out["nonfinite_skipped"] = float(
+                        np.asarray(host["nonfinite_skipped"]).sum()
+                    )
+                    self.logger.log_metrics(out, step=step)
                 if self.checkpointer and step % self.cfg.save_interval == 0:
                     self.checkpointer.save(step, self.state)
         return self.state

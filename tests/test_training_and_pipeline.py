@@ -47,6 +47,80 @@ def test_diffusion_train_step_decreases_loss():
     assert np.isfinite(m["grad_norm"])
 
 
+def test_chunked_train_steps_match_per_step_loop():
+    """make_chunked_train_step(K steps as one lax.scan) must match the Python
+    loop over the same step_fn given identical index rows, timesteps, weights
+    and keys — the chunked path changes dispatch, not math.
+
+    Tolerances: the scan body is traced inline, so XLA fuses/reorders float
+    ops differently than the per-call jit — losses agree to ULP (measured
+    6e-8 relative) every step, but Adam's m/(sqrt(v)+eps) near a zero
+    gradient amplifies ULP-level grad noise to O(lr)-level update
+    differences, so params are only bounded by ~lr after K steps. The
+    single-step (K=1) comparison below is the tight equivalence check."""
+    from surfd_tpu.training.diffusion_trainer import make_chunked_train_step
+
+    mdm = MDM(cond_mode="category", num_actions=3, model_channels=16,
+              channel_mult=(1, 2), num_res_blocks=1)
+    L, B, N, K = 8, 4, 10, 6
+    x = jnp.zeros((B, L, 1))
+    params = mdm.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32),
+        action=jnp.zeros((B,), jnp.int32),
+    )["params"]
+    sched = named_schedule("cosine", 10)
+    tx = make_optimizer(lr=1e-3)
+    step = make_train_step(mdm, sched, tx, cond_mask_prob=0.2)
+
+    bank = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (N, L)) * 0.3,
+        "action": jnp.arange(N, dtype=jnp.int32) % 3,
+    }
+    np_rng = np.random.default_rng(7)
+    idx = jnp.asarray(np_rng.integers(0, N, size=(K, B)), jnp.int32)
+    t = jnp.asarray(np_rng.integers(0, 10, size=(K, B)), jnp.int32)
+    w = jnp.ones((K, B))
+    rngs = jax.random.split(jax.random.PRNGKey(3), K)
+
+    state_l = create_train_state(params, tx)
+    losses_l = []
+    for k in range(K):
+        batch = {name: v[idx[k]] for name, v in bank.items()}
+        state_l, m = step(state_l, batch, t[k], w[k], rngs[k])
+        losses_l.append(float(m["loss"]))
+
+    chunk = make_chunked_train_step(step, bank)
+    state_c, ms = chunk(create_train_state(params, tx), idx, t, w, rngs)
+
+    assert int(state_c.step) == int(state_l.step) == K
+    np.testing.assert_allclose(np.asarray(ms["loss"]), np.asarray(losses_l),
+                               rtol=1e-6)
+    # Adam moves each element by at most ~lr per step, so two trajectories
+    # whose gradients differ by ULPs stay within K*lr elementwise
+    lr = 1e-3
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=K * lr),
+        state_c.params, state_l.params,
+    )
+
+    # K=1: one scan iteration vs one direct step — tight (pure fusion noise,
+    # no Adam amplification across steps)
+    chunk1 = make_chunked_train_step(step, bank)
+    state_1, ms1 = chunk1(create_train_state(params, tx),
+                          idx[:1], t[:1], w[:1], rngs[:1])
+    batch0 = {name: v[idx[0]] for name, v in bank.items()}
+    state_d, md = step(create_train_state(params, tx),
+                       batch0, t[0], w[0], rngs[0])
+    np.testing.assert_allclose(float(np.asarray(ms1["loss"])[0]),
+                               float(md["loss"]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        state_1.params, state_d.params,
+    )
+
+
 def test_nonfinite_batch_skips_update_in_graph():
     """Failure detection (SURVEY §5): a NaN-poisoned batch must not corrupt
     params/opt_state/EMA; the step counter still advances and the skip is
