@@ -42,6 +42,13 @@ def main():
     # surface-bias calibration: "auto" (estimate the decoder's UDF floor from
     # the fill's block minima and subtract it), "none", or a forced float
     ap.add_argument("--surface_bias", default="auto")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip items whose metrics row is already in "
+                         "output_dir/recon_items.jsonl (wedge recovery)")
+    ap.add_argument("--stall_exit_s", type=float, default=600.0,
+                    help="exit 42 if no item completes for this long (wedged "
+                         "device link; pair with scripts/train_with_restarts.sh "
+                         "+ --resume). 0 disables")
     from ..utils.config import apply_preset_defaults
 
     apply_preset_defaults(ap)
@@ -87,10 +94,36 @@ def main():
         face_filter_mult=args.face_filter_mult,
         surface_bias=parse_surface_bias(args.surface_bias),
     )
+    import json
+
+    from ..training import StallWatchdog
+
+    # Incremental per-item rows: each finished item appends to
+    # recon_items.jsonl so a wedged device link (the one failure mode a
+    # tunneled chip actually exhibits — see StallWatchdog) loses at most one
+    # item. --resume skips ids already recorded; the restart wrapper
+    # (scripts/train_with_restarts.sh) turns exit 42 into a clean rerun.
+    items_path = os.path.join(args.output_dir, "recon_items.jsonl")
+    done: dict = {}
+    if args.resume and os.path.exists(items_path):
+        with open(items_path) as f:
+            for line in f:
+                if line.strip():
+                    r = json.loads(line)
+                    done[r["id"]] = r
+        print(f"resume: {len(done)} items already done", file=sys.stderr)
+    elif os.path.exists(items_path):
+        os.unlink(items_path)
+
     rows = []
     items = range(len(dataset)) if not args.limit else range(min(args.limit, len(dataset)))
+    wd = StallWatchdog(args.stall_exit_s)
+    wd.__enter__()
     for i in items:
         item = dataset[i]
+        if item["id"] in done:
+            rows.append(done[item["id"]])
+            continue
         pcd = random_point_sampling(item["pcd"], args.num_points_pcd, rng)
         latent = encoder.apply(enc_vars, jnp.asarray(pcd)[None])[0]
         udf_fn = make_udf_fn(decoder, dec_vars, latent)
@@ -122,15 +155,21 @@ def main():
                     "hausdorff": hausdorff_distance(recon, gt),
                     "f_score@0.01": f_score(recon, gt, threshold=0.01),
                 }
-            rows.append(row)
             print(
                 f"[{i}] {item['id']}: {row['faces']} faces, "
                 f"chamfer {row['chamfer']:.6f}, f@0.01 {row['f_score@0.01']:.3f}",
                 file=sys.stderr,
             )
         else:
-            rows.append({"id": item["id"], "faces": 0})
+            row = {"id": item["id"], "faces": 0}
             print(f"[{i}] {item['id']}: EMPTY mesh", file=sys.stderr)
+        row = {k: (float(v) if isinstance(v, (np.floating, np.integer)) else v)
+               for k, v in row.items()}
+        rows.append(row)
+        with open(items_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        wd.tick()
+    wd.__exit__(None, None, None)
     full = [r for r in rows if r["faces"]]
     by_class: dict = {}
     for r in full:
@@ -151,8 +190,6 @@ def main():
         },
         "per_item": rows,
     }
-    import json
-
     with open(os.path.join(args.output_dir, "recon_metrics.json"), "w") as f:
         json.dump(summary, f, indent=2)
     if full:
